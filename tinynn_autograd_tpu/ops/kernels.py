@@ -1,0 +1,150 @@
+"""Hot-path compute kernels: Pallas on TPU, XLA-native elsewhere.
+
+The FLOP sink of the whole framework is matmul (forward + both VJPs of
+``dot_`` — the reference spends its time in np.matmul at core/ops.py:151,
+157, 160). On TPU we run it through a tiled Pallas kernel that keeps the MXU
+fed from VMEM with an fp32 accumulator; on CPU (tests, simulated meshes) we
+fall back to XLA's native dot, and the Pallas path is still exercised in
+interpret mode by the test suite.
+
+Dispatch policy
+---------------
+``matmul(a, b)`` uses the Pallas kernel when:
+  - the default backend is TPU (or ``TINYNN_TPU_FORCE_PALLAS=1``),
+  - both operands are 2-D floats, and
+  - the problem is big enough that tiling pays for itself.
+Everything else goes to ``jnp.matmul`` with an explicit fp32
+``preferred_element_type`` so the MXU never silently accumulates in bf16.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Flip to force-enable/disable the Pallas path (tests use interpret mode).
+_FORCE = os.environ.get("TINYNN_TPU_FORCE_PALLAS")
+_DISABLE = os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
+
+# Minimum problem size (in MXU tiles) before tiling beats plain XLA dot.
+_MIN_PALLAS_ELEMS = 128 * 128
+
+
+@functools.cache
+def _default_backend():
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover - no backend at all
+        return "cpu"
+
+
+def _use_pallas(a, b):
+    if _DISABLE:
+        return False
+    if a.ndim != 2 or b.ndim != 2:
+        return False
+    if not (
+        jnp.issubdtype(a.dtype, jnp.floating)
+        and jnp.issubdtype(b.dtype, jnp.floating)
+    ):
+        return False
+    m, k = a.shape
+    _, n = b.shape
+    if m * n < _MIN_PALLAS_ELEMS or k < 8:
+        return False
+    if _FORCE:
+        return True
+    return _default_backend() == "tpu"
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _mm_kernel(a_ref, b_ref, o_ref, acc_ref):
+    """One (bm, bn) output tile; the k grid axis accumulates partial products
+    into an fp32 VMEM scratch, written out on the last k step."""
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        a_ref[:], b_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pick_block(dim, target):
+    return min(_round_up(dim, 128), target)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_matmul(a, b, interpret=False):
+    """Tiled MXU matmul: C[M,N] = A[M,K] @ B[K,N], fp32 accumulation.
+
+    Inputs are zero-padded up to (128, 128)-aligned shapes (zero rows/cols
+    contribute nothing to the product), tiled over a (M/bm, N/bn, K/bk) grid
+    with the k axis innermost ("arbitrary") so each output tile's accumulator
+    stays resident in VMEM across the K loop.
+    """
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2, (a.shape, b.shape)
+    out_dtype = jnp.promote_types(a.dtype, b.dtype)
+
+    bm = _pick_block(m, 256)
+    bn = _pick_block(n, 256)
+    bk = _pick_block(k, 512)
+
+    mp, kp, np_ = _round_up(m, bm), _round_up(k, bk), _round_up(n, bn)
+    a_p = jnp.pad(a, ((0, mp - m), (0, kp - k))) if (mp, kp) != (m, k) else a
+    b_p = jnp.pad(b, ((0, kp - k), (0, np_ - n))) if (kp, np_) != (k, n) else b
+
+    grid = (mp // bm, np_ // bn, kp // bk)
+
+    out = pl.pallas_call(
+        _mm_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=(mp * kp + kp * np_ + mp * np_) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_p, b_p)
+
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+def matmul(a, b):
+    """Platform-dispatching matmul used by the ``dot_`` primitive and its
+    VJPs. Semantics are numpy.matmul."""
+    if _use_pallas(a, b):
+        return pallas_matmul(a, b)
+    return jnp.matmul(a, b, preferred_element_type=_acc_type(a, b))
+
+
+def _acc_type(a, b):
+    out = jnp.promote_types(a.dtype, b.dtype)
+    if out == jnp.bfloat16 or out == jnp.float16:
+        return jnp.float32
+    return None

@@ -1,0 +1,619 @@
+"""Differentiable primitives: forward on device + hand-written VJP closures.
+
+TPU-native redesign of the reference op set (reference: core/ops.py). Each
+primitive computes its forward value with XLA-staged jax.numpy calls (the hot
+matmul path dispatches to a Pallas kernel on TPU — see
+``tinynn_autograd_tpu.ops.kernels``) and registers hand-written VJP closures on
+the output Tensor. ``jax.grad`` is NOT used anywhere; reverse-mode is our own
+tape (see ``core/tensor.py``).
+
+Broadcasting semantics: every binary VJP funnels through a single
+``unbroadcast`` helper that reproduces numpy broadcasting reduction exactly —
+sum away leading extra dims, then keepdims-sum size-1 dims (the reference
+repeats this pattern inline in every op, reference: core/ops.py:39-55).
+
+Deliberate divergences from the reference (bug fixes, each cited):
+- reduce max/min VJP works for ANY axis (reference breaks for non-leading
+  axes, reference: core/ops.py:228-229).
+- ``getitem_`` accumulates gradients for repeated indices via scatter-add
+  (reference last-write-wins, reference: core/ops.py:285-288).
+- ``sum_`` supports tuple axes and keepdims (reference: int axis only,
+  core/ops.py:252-263).
+"""
+
+import builtins
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinynn_autograd_tpu.ops import kernels
+
+
+def as_tensor(obj):
+    from tinynn_autograd_tpu.core.tensor import as_tensor as _as_tensor
+
+    return _as_tensor(obj)
+
+
+# --------------------------------------------------------------------------
+# builders
+# --------------------------------------------------------------------------
+
+def build_binary_ops_tensor(ts1, ts2, grad_fn_ts1, grad_fn_ts2, values):
+    """Wrap ``values`` in a Tensor recording VJP edges to requiring inputs
+    (reference contract: core/ops.py:12-20)."""
+    requires_grad = ts1.requires_grad or ts2.requires_grad
+    dependency = []
+    if ts1.requires_grad:
+        dependency.append((ts1, grad_fn_ts1))
+    if ts2.requires_grad:
+        dependency.append((ts2, grad_fn_ts2))
+    return ts1.__class__(values, requires_grad, dependency)
+
+
+def build_unary_ops_tensor(ts, grad_fn, values):
+    """reference contract: core/ops.py:23-29."""
+    requires_grad = ts.requires_grad
+    dependency = [(ts, grad_fn)] if requires_grad else []
+    return ts.__class__(values, requires_grad, dependency)
+
+
+def unbroadcast(grad, shape):
+    """Reduce ``grad`` back to ``shape`` under numpy broadcasting rules.
+
+    Sum over leading dims that were prepended by broadcasting, then
+    keepdims-sum every axis where ``shape`` has size 1 but ``grad`` doesn't.
+    One shared implementation for all binary VJPs (the reference inlines this
+    per-op, reference: core/ops.py:39-55).
+    """
+    ndiff = grad.ndim - len(shape)
+    if ndiff > 0:
+        grad = grad.sum(axis=tuple(range(ndiff)))
+    axes = tuple(
+        i for i, dim in enumerate(shape) if dim == 1 and grad.shape[i] != 1
+    )
+    if axes:
+        grad = grad.sum(axis=axes, keepdims=True)
+    return grad
+
+
+# --------------------------------------------------------------------------
+# binary ops
+# --------------------------------------------------------------------------
+
+def add_(ts1, ts2):
+    """c = a + b (reference: core/ops.py:32-58)."""
+    values = ts1.data + ts2.data
+
+    def grad_fn_ts1(grad):
+        return unbroadcast(grad, ts1.shape)
+
+    def grad_fn_ts2(grad):
+        return unbroadcast(grad, ts2.shape)
+
+    return build_binary_ops_tensor(ts1, ts2, grad_fn_ts1, grad_fn_ts2, values)
+
+
+def sub_(ts1, ts2):
+    """c = a - b, composed as a + (-b) (reference: core/ops.py:61-62)."""
+    return ts1 + (-ts2)
+
+
+def mul_(ts1, ts2):
+    """c = a * b (reference: core/ops.py:65-90)."""
+    values = ts1.data * ts2.data
+
+    def grad_fn_ts1(grad):
+        return unbroadcast(grad * ts2.data, ts1.shape)
+
+    def grad_fn_ts2(grad):
+        return unbroadcast(grad * ts1.data, ts2.shape)
+
+    return build_binary_ops_tensor(ts1, ts2, grad_fn_ts1, grad_fn_ts2, values)
+
+
+def div_(ts1, ts2):
+    """c = a / b (reference: core/ops.py:93-118)."""
+    values = ts1.data / ts2.data
+
+    def grad_fn_ts1(grad):
+        return unbroadcast(grad / ts2.data, ts1.shape)
+
+    def grad_fn_ts2(grad):
+        return unbroadcast(-grad * ts1.data / ts2.data ** 2, ts2.shape)
+
+    return build_binary_ops_tensor(ts1, ts2, grad_fn_ts1, grad_fn_ts2, values)
+
+
+def pow_(ts1, ts2):
+    """c = a ** b (reference: core/ops.py:121-147).
+
+    d/da = b * a**(b-1); d/db = ln(a) * a**b (NaN for a <= 0, matching numpy).
+    """
+    a, b = ts1.data, ts2.data
+    values = a ** b
+
+    def grad_fn_ts1(grad):
+        return unbroadcast(grad * b * a ** (b - 1), ts1.shape)
+
+    def grad_fn_ts2(grad):
+        return unbroadcast(grad * jnp.log(a) * values, ts2.shape)
+
+    return build_binary_ops_tensor(ts1, ts2, grad_fn_ts1, grad_fn_ts2, values)
+
+
+def _swap_last2(x):
+    return jnp.swapaxes(x, -1, -2)
+
+
+def dot_(ts1, ts2):
+    """c = a @ b with numpy.matmul semantics (reference: core/ops.py:150-162).
+
+    Extends the reference (strictly 2-D) to 1-D operands and batched N-D
+    matmul with broadcast batch dims. The 2-D fast path runs on the MXU via
+    the Pallas matmul kernel on TPU (kernels.matmul).
+    """
+    a, b = ts1.data, ts2.data
+    values = kernels.matmul(a, b)
+
+    if a.ndim == 1 and b.ndim == 1:
+        def grad_fn_ts1(grad):
+            return grad * b
+
+        def grad_fn_ts2(grad):
+            return grad * a
+    elif b.ndim == 1:
+        # (..., m, k) @ (k,) -> (..., m)
+        def grad_fn_ts1(grad):
+            return unbroadcast(grad[..., None] * b, ts1.shape)
+
+        def grad_fn_ts2(grad):
+            g = grad[..., None, :] @ a  # (..., 1, k)
+            return unbroadcast(g[..., 0, :], ts2.shape)
+    elif a.ndim == 1:
+        # (k,) @ (..., k, n) -> (..., n)
+        def grad_fn_ts1(grad):
+            g = b @ grad[..., None]  # (..., k, 1)
+            return unbroadcast(g[..., 0], ts1.shape)
+
+        def grad_fn_ts2(grad):
+            return unbroadcast(a[:, None] * grad[..., None, :], ts2.shape)
+    else:
+        def grad_fn_ts1(grad):
+            return unbroadcast(kernels.matmul(grad, _swap_last2(b)), ts1.shape)
+
+        def grad_fn_ts2(grad):
+            return unbroadcast(kernels.matmul(_swap_last2(a), grad), ts2.shape)
+
+    return build_binary_ops_tensor(ts1, ts2, grad_fn_ts1, grad_fn_ts2, values)
+
+
+def maximum_(ts1, ts2):
+    """Elementwise max; ties route the full gradient to the FIRST argument
+    (reference: core/ops.py:165-187)."""
+    a, b = ts1.data, ts2.data
+    values = jnp.maximum(a, b)
+
+    def grad_fn_ts1(grad):
+        return unbroadcast(grad * (a >= b), ts1.shape)
+
+    def grad_fn_ts2(grad):
+        return unbroadcast(grad * (b > a), ts2.shape)
+
+    return build_binary_ops_tensor(ts1, ts2, grad_fn_ts1, grad_fn_ts2, values)
+
+
+def minimum_(ts1, ts2):
+    """Elementwise min; ties go to the first argument
+    (reference: core/ops.py:190-212)."""
+    a, b = ts1.data, ts2.data
+    values = jnp.minimum(a, b)
+
+    def grad_fn_ts1(grad):
+        return unbroadcast(grad * (a <= b), ts1.shape)
+
+    def grad_fn_ts2(grad):
+        return unbroadcast(grad * (b < a), ts2.shape)
+
+    return build_binary_ops_tensor(ts1, ts2, grad_fn_ts1, grad_fn_ts2, values)
+
+
+# --------------------------------------------------------------------------
+# unary ops
+# --------------------------------------------------------------------------
+
+def exp_(ts):
+    """reference: core/ops.py:216-221."""
+    values = jnp.exp(ts.data)
+
+    def grad_fn(grad):
+        return values * grad
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def _normalize_axes(axis, ndim):
+    if axis is None:
+        return None
+    if isinstance(axis, (tuple, list)):
+        return tuple(a % ndim for a in axis)
+    return (axis % ndim,)
+
+
+def _reduce_extreme(ts, axis, reducer):
+    """Shared machinery for max_/min_ reductions.
+
+    Tie semantics match the reference: every element equal to the extreme
+    receives the FULL incoming gradient (no splitting) (reference:
+    core/ops.py:225-240). Unlike the reference, works for any axis: the
+    incoming gradient is re-expanded at the reduced axes before masking
+    (fixes reference: core/ops.py:229 which breaks for non-leading axes).
+    """
+    x = ts.data
+    axes = _normalize_axes(axis, x.ndim)
+    values = reducer(x, axis=axis)
+    kd = reducer(x, axis=axis, keepdims=True)
+    mask = (x == kd)
+
+    def grad_fn(grad):
+        if axes is not None:
+            grad = jnp.expand_dims(grad, axes)
+        return grad * mask
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def max_(ts, axis=None):
+    return _reduce_extreme(ts, axis, jnp.max)
+
+
+def min_(ts, axis=None):
+    return _reduce_extreme(ts, axis, jnp.min)
+
+
+def log_(ts):
+    """reference: core/ops.py:243-248."""
+    values = jnp.log(ts.data)
+
+    def grad_fn(grad):
+        return grad / ts.data
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def sum_(ts, axis=None, keepdims=False):
+    """Reduce-sum; grad broadcasts back over the reduced axes
+    (reference: core/ops.py:251-264; extended with tuple axes + keepdims)."""
+    shape = ts.shape
+    axes = _normalize_axes(axis, ts.data.ndim)
+    values = ts.data.sum(axis=axis, keepdims=keepdims)
+
+    def grad_fn(grad):
+        if axes is not None and not keepdims:
+            grad = jnp.expand_dims(grad, axes)
+        return jnp.broadcast_to(grad, shape)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def mean_(ts, axis=None, keepdims=False):
+    """Reduce-mean = sum / count, fused as a single primitive."""
+    shape = ts.shape
+    axes = _normalize_axes(axis, ts.data.ndim)
+    values = ts.data.mean(axis=axis, keepdims=keepdims)
+    if axes is None:
+        count = ts.data.size
+    else:
+        count = 1
+        for a in axes:
+            count *= shape[a]
+
+    def grad_fn(grad):
+        if axes is not None and not keepdims:
+            grad = jnp.expand_dims(grad, axes)
+        return jnp.broadcast_to(grad / count, shape)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def transpose_(ts, axes=None):
+    """reference: core/ops.py:267-278."""
+    values = ts.data.transpose(axes)
+    if axes is None:
+        axes = list(reversed(range(ts.data.ndim)))
+    axes = list(axes)
+    inv = np.argsort(axes)
+
+    def grad_fn(grad):
+        return grad.transpose(inv)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def _coerce_key(key):
+    from tinynn_autograd_tpu.core.tensor import Tensor
+
+    def one(k):
+        return k.data if isinstance(k, Tensor) else k
+
+    if isinstance(key, tuple):
+        return tuple(one(k) for k in key)
+    return one(key)
+
+
+def getitem_(ts, key):
+    """Indexing/slicing; VJP scatters the gradient back into a zero tensor.
+
+    Divergence from the reference (core/ops.py:282-288): repeated indices
+    ACCUMULATE via scatter-add — the calculus-correct adjoint — instead of the
+    reference's last-write-wins assignment.
+    """
+    key = _coerce_key(key)
+    values = ts.data[key]
+
+    def grad_fn(grad):
+        zeros = jnp.zeros(ts.shape, dtype=grad.dtype)
+        return zeros.at[key].add(grad)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def neg_(ts):
+    """reference: core/ops.py:292-297."""
+    values = -ts.data
+
+    def grad_fn(grad):
+        return -grad
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def reshape_(ts, newshape):
+    """reference: core/ops.py:301-307."""
+    shape = ts.shape
+    values = ts.data.reshape(newshape)
+
+    def grad_fn(grad):
+        return grad.reshape(shape)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def pad_(ts, pad_width, mode="constant"):
+    """Pad; gradient slices out the interior (reference: core/ops.py:311-320).
+
+    The interior-slice adjoint is only correct for constant padding, so other
+    modes refuse to build a tape edge instead of silently producing wrong
+    gradients (the reference computes the same slice for every mode).
+    """
+    values = jnp.pad(ts.data, pad_width=pad_width, mode=mode)
+    if ts.requires_grad and mode != "constant":
+        raise ValueError(
+            "pad gradient is only defined for mode='constant', got %r" % mode
+        )
+    slices = tuple(
+        slice(before, size - after)
+        for size, (before, after) in zip(values.shape, pad_width)
+    )
+
+    def grad_fn(grad):
+        return grad[slices]
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def flatten_(ts):
+    """reference: core/ops.py:323-330."""
+    shape = ts.shape
+    values = ts.data.reshape(-1)
+
+    def grad_fn(grad):
+        return grad.reshape(shape)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def clip_(ts, min=None, max=None):
+    """Clip; boundary values are INCLUDED in the pass-through mask, so e.g.
+    d/dx relu(0) = 1 (reference: core/ops.py:333-344)."""
+    values = jnp.clip(ts.data, min, max)
+
+    mask = jnp.ones(ts.shape, dtype=bool)
+    if min is not None:
+        mask = mask & (ts.data >= min)
+    if max is not None:
+        mask = mask & (ts.data <= max)
+
+    def grad_fn(grad):
+        return grad * mask
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def astype_(ts, dtype):
+    """Dtype cast; gradient casts back to the source gradient dtype."""
+    src = ts.data.dtype
+    values = ts.data.astype(dtype)
+
+    def grad_fn(grad):
+        if jnp.issubdtype(src, jnp.inexact):
+            return grad.astype(src)
+        return grad
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+# --------------------------------------------------------------------------
+# fused activation / normalization primitives (TPU additions)
+# --------------------------------------------------------------------------
+
+def sigmoid_(ts):
+    """Numerically stable logistic; d/dx = y * (1 - y).
+
+    (The reference Sigmoid calls np.exp on a Tensor and crashes,
+    reference: core/layers.py:74-80 — implemented correctly here.)
+    """
+    values = jax.nn.sigmoid(ts.data)
+
+    def grad_fn(grad):
+        return grad * values * (1.0 - values)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def tanh_(ts):
+    """True tanh; d/dx = 1 - y**2.
+
+    (The reference Tanh computes tanh(x/2), reference: core/layers.py:83-89 —
+    implemented correctly here.)
+    """
+    values = jnp.tanh(ts.data)
+
+    def grad_fn(grad):
+        return grad * (1.0 - values * values)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def relu_(ts):
+    """max(x, 0); subgradient at 0 is 1 to match the reference's
+    boundary-inclusive clip mask (reference: core/layers.py:92-98 via
+    core/ops.py:333-344)."""
+    x = ts.data
+    values = jnp.maximum(x, 0)
+
+    def grad_fn(grad):
+        return grad * (x >= 0)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def leaky_relu_(ts, negative_slope=0.01):
+    x = ts.data
+    values = jnp.where(x >= 0, x, negative_slope * x)
+
+    def grad_fn(grad):
+        return grad * jnp.where(x >= 0, 1.0, negative_slope)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def softplus_(ts):
+    """log(1 + exp(x)) computed stably; d/dx = sigmoid(x)."""
+    x = ts.data
+    values = jax.nn.softplus(x)
+
+    def grad_fn(grad):
+        return grad * jax.nn.sigmoid(x)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def gelu_(ts):
+    """Tanh-approximation GELU with its exact hand derivative."""
+    x = ts.data
+    c = np.sqrt(2.0 / np.pi).astype(np.float32)
+    inner = c * (x + 0.044715 * x ** 3)
+    t = jnp.tanh(inner)
+    values = 0.5 * x * (1.0 + t)
+
+    def grad_fn(grad):
+        dinner = c * (1.0 + 3 * 0.044715 * x ** 2)
+        return grad * (0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def abs_(ts):
+    x = ts.data
+    values = jnp.abs(x)
+
+    def grad_fn(grad):
+        return grad * jnp.sign(x)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def sqrt_(ts):
+    values = jnp.sqrt(ts.data)
+
+    def grad_fn(grad):
+        return grad * 0.5 / values
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def log_softmax_(ts, axis=-1):
+    """Row-stable log-softmax; VJP: g - exp(y) * sum(g, axis, keepdims).
+
+    This is the kernel under SoftmaxCrossEntropyLoss — per-row max-shift and
+    per-row normalizer (the reference uses a GLOBAL max and sum which is not a
+    softmax, reference: core/losses.py:26-27; implemented correctly here).
+    """
+    x = ts.data
+    values = jax.nn.log_softmax(x, axis=axis)
+
+    def grad_fn(grad):
+        return grad - jnp.exp(values) * grad.sum(axis=axis, keepdims=True)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def dropout_(ts, rate, rng):
+    """Inverted dropout: zero with prob ``rate``, scale survivors by 1/(1-p).
+
+    ``rng`` is a jax PRNG key (traced under jit, so each compiled step can
+    fold in the step counter for fresh masks)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=ts.shape)
+    scale = 1.0 / keep
+    values = jnp.where(mask, ts.data * scale, 0.0)
+
+    def grad_fn(grad):
+        return jnp.where(mask, grad * scale, 0.0)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def concat_(tensors, axis=0):
+    """Concatenate along ``axis``; VJP slices the gradient back per input."""
+    tensors = [as_tensor(t) for t in tensors]
+    datas = [t.data for t in tensors]
+    values = jnp.concatenate(datas, axis=axis)
+    ax = axis % values.ndim
+
+    requires_grad = builtins.any(t.requires_grad for t in tensors)
+    dependency = []
+    offset = 0
+    for t in tensors:
+        size = t.shape[ax]
+        if t.requires_grad:
+            def make_fn(start, length):
+                def grad_fn(grad):
+                    idx = [slice(None)] * grad.ndim
+                    idx[ax] = slice(start, start + length)
+                    return grad[tuple(idx)]
+
+                return grad_fn
+
+            dependency.append((t, make_fn(offset, size)))
+        offset += size
+    return tensors[0].__class__(values, requires_grad, dependency)
+
+
+def where_(cond, ts1, ts2):
+    """Elementwise select; gradient flows to the selected branch only."""
+    ts1, ts2 = as_tensor(ts1), as_tensor(ts2)
+    from tinynn_autograd_tpu.core.tensor import Tensor
+
+    c = cond.data if isinstance(cond, Tensor) else jnp.asarray(cond)
+    values = jnp.where(c, ts1.data, ts2.data)
+
+    def grad_fn_ts1(grad):
+        return unbroadcast(jnp.where(c, grad, 0.0), ts1.shape)
+
+    def grad_fn_ts2(grad):
+        return unbroadcast(jnp.where(c, 0.0, grad), ts2.shape)
+
+    return build_binary_ops_tensor(ts1, ts2, grad_fn_ts1, grad_fn_ts2, values)
