@@ -1,0 +1,226 @@
+"""Layer unit tests — coverage the reference entirely lacks (SURVEY.md §4:
+"Layers ... have NO tests at all", which is how its Sigmoid/Tanh bugs
+survived)."""
+
+import numpy as np
+import pytest
+
+from tinynn_autograd_tpu import Tensor
+from tinynn_autograd_tpu.nn.initializer import ConstantInit
+from tinynn_autograd_tpu.nn.layers import (
+    Conv2D, Dense, Dropout, Flatten, GELU, LeakyReLU, MaxPool2D, ReLU,
+    Sigmoid, Softplus, Tanh,
+)
+from tinynn_autograd_tpu.utils.seeder import random_seed
+
+
+def setup_module():
+    random_seed(7)
+
+
+def test_dense_forward_and_grad():
+    layer = Dense(2, num_in=3,
+                  w_init=ConstantInit(1.0), b_init=ConstantInit(0.5))
+    x = Tensor([[1.0, 2.0, 3.0]])
+    out = layer.forward(x)
+    assert out.values.tolist() == [[6.5, 6.5]]
+    out.backward([[1.0, 1.0]])
+    assert layer.params["w"].grad.tolist() == [[1, 1], [2, 2], [3, 3]]
+    assert layer.params["b"].grad.tolist() == [[1, 1]]
+
+
+def test_dense_lazy_init():
+    layer = Dense(4)
+    assert not layer.is_init
+    out = layer.forward(Tensor(np.ones((2, 5), np.float32)))
+    assert layer.is_init
+    assert tuple(layer.params["w"].shape) == (5, 4)
+    assert tuple(layer.params["b"].shape) == (1, 4)
+    assert out.shape == (2, 4)
+
+
+def test_sigmoid_correct_math():
+    # the reference Sigmoid crashes (np.exp on Tensor); ours must be the
+    # real logistic with grad y*(1-y)
+    x = Tensor([0.0, 2.0, -3.0], requires_grad=True)
+    y = Sigmoid().forward(x)
+    expected = 1.0 / (1.0 + np.exp(-np.array([0.0, 2.0, -3.0])))
+    np.testing.assert_allclose(y.numpy(), expected, rtol=1e-6)
+    y.backward([1.0, 1.0, 1.0])
+    np.testing.assert_allclose(x.grad, expected * (1 - expected), rtol=1e-6)
+
+
+def test_tanh_correct_math():
+    # the reference computes tanh(x/2); ours must be true tanh
+    x = Tensor([1.0], requires_grad=True)
+    y = Tanh().forward(x)
+    np.testing.assert_allclose(y.numpy(), np.tanh(1.0), rtol=1e-6)
+    y.backward([1.0])
+    np.testing.assert_allclose(x.grad, 1 - np.tanh(1.0) ** 2, rtol=1e-6)
+
+
+def test_relu():
+    x = Tensor([-1.0, 0.0, 2.0], requires_grad=True)
+    y = ReLU().forward(x)
+    assert y.values.tolist() == [0, 0, 2]
+    y.backward([1.0, 1.0, 1.0])
+    # boundary-inclusive: grad at 0 is 1 (matches reference clip semantics)
+    assert x.grad.tolist() == [0, 1, 1]
+
+
+def test_leaky_relu():
+    x = Tensor([-2.0, 3.0], requires_grad=True)
+    y = LeakyReLU(0.1).forward(x)
+    np.testing.assert_allclose(y.numpy(), [-0.2, 3.0], rtol=1e-6)
+    y.backward([1.0, 1.0])
+    np.testing.assert_allclose(x.grad, [0.1, 1.0], rtol=1e-6)
+
+
+def test_gelu_softplus_finite_diff():
+    rng = np.random.RandomState(3)
+    x0 = rng.randn(5).astype(np.float64)
+    for layer in (GELU(), Softplus()):
+        x = Tensor(x0.astype(np.float32), requires_grad=True)
+        y = layer.forward(x)
+        y.backward(np.ones(5))
+        eps = 1e-3
+        for i in range(5):
+            xp, xm = x0.copy(), x0.copy()
+            xp[i] += eps
+            xm[i] -= eps
+            fp = layer.forward(Tensor(xp.astype(np.float32))).numpy()[i]
+            fm = layer.forward(Tensor(xm.astype(np.float32))).numpy()[i]
+            fd = (fp - fm) / (2 * eps)
+            assert abs(float(x.grad[i]) - fd) < 1e-2
+
+
+def _naive_conv2d(x, w, stride, pads):
+    """Pure-numpy NHWC conv oracle for small shapes."""
+    n, h, wd, c = x.shape
+    kh, kw, _, co = w.shape
+    (plh, phh), (plw, phw) = pads
+    xp = np.pad(x, [(0, 0), (plh, phh), (plw, phw), (0, 0)])
+    sh, sw = stride
+    oh = (h + plh + phh - kh) // sh + 1
+    ow = (wd + plw + phw - kw) // sw + 1
+    out = np.zeros((n, oh, ow, co), np.float64)
+    for b in range(n):
+        for i in range(oh):
+            for j in range(ow):
+                patch = xp[b, i * sh:i * sh + kh, j * sw:j * sw + kw, :]
+                for f in range(co):
+                    out[b, i, j, f] = np.sum(patch * w[:, :, :, f])
+    return out
+
+
+@pytest.mark.parametrize("padding,stride", [("VALID", 1), ("SAME", 1), ("VALID", 2)])
+def test_conv2d_matches_naive(padding, stride):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 6, 5, 3).astype(np.float32)
+    layer = Conv2D(kernel=(3, 3, 3, 4), stride=stride, padding=padding)
+    w = rng.randn(3, 3, 3, 4).astype(np.float32) * 0.1
+    layer.params["w"] = Tensor(w, requires_grad=True)
+    layer.params["b"] = Tensor(np.zeros((1, 4), np.float32), requires_grad=True)
+
+    out = layer.forward(Tensor(x))
+    pads = layer._pads(6, 5)
+    expected = _naive_conv2d(x, w, layer.stride, pads)
+    np.testing.assert_allclose(out.numpy(), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_grads_finite_diff():
+    rng = np.random.RandomState(1)
+    x0 = rng.randn(1, 4, 4, 2).astype(np.float32)
+    layer = Conv2D(kernel=(2, 2, 2, 3), stride=1, padding="VALID")
+    w0 = (rng.randn(2, 2, 2, 3) * 0.5).astype(np.float32)
+    layer.params["w"] = Tensor(w0, requires_grad=True)
+    layer.params["b"] = Tensor(np.zeros((1, 3), np.float32), requires_grad=True)
+
+    x = Tensor(x0, requires_grad=True)
+    out = layer.forward(x)
+    loss = (out ** 2).sum()
+    loss.backward()
+
+    # finite-difference check a few weight entries and input entries
+    def loss_at(w_mod, x_mod):
+        l2 = Conv2D(kernel=(2, 2, 2, 3), stride=1, padding="VALID")
+        l2.params["w"] = Tensor(w_mod)
+        l2.params["b"] = Tensor(np.zeros((1, 3), np.float32))
+        o = l2.forward(Tensor(x_mod))
+        return float((o ** 2).sum().values)
+
+    eps = 1e-2
+    for idx in [(0, 0, 0, 0), (1, 1, 1, 2), (0, 1, 0, 1)]:
+        wp, wm = w0.copy(), w0.copy()
+        wp[idx] += eps
+        wm[idx] -= eps
+        fd = (loss_at(wp, x0) - loss_at(wm, x0)) / (2 * eps)
+        assert abs(float(layer.params["w"].grad[idx]) - fd) < 5e-2
+
+    for idx in [(0, 0, 0, 0), (0, 3, 3, 1), (0, 2, 1, 0)]:
+        xp, xm = x0.copy(), x0.copy()
+        xp[idx] += eps
+        xm[idx] -= eps
+        fd = (loss_at(w0, xp) - loss_at(w0, xm)) / (2 * eps)
+        assert abs(float(x.grad[idx]) - fd) < 5e-2
+
+
+def test_maxpool2d():
+    x = np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1)
+    layer = MaxPool2D(pool_size=2)
+    out = layer.forward(Tensor(x, requires_grad=False))
+    assert out.numpy().reshape(2, 2).tolist() == [[5, 7], [13, 15]]
+
+    t = Tensor(x, requires_grad=True)
+    out = layer.forward(t)
+    out.backward(np.ones((1, 2, 2, 1)))
+    g = t.grad.reshape(4, 4)
+    expected = np.zeros((4, 4))
+    expected[1, 1] = expected[1, 3] = expected[3, 1] = expected[3, 3] = 1
+    np.testing.assert_array_equal(np.asarray(g), expected)
+
+
+def test_maxpool2d_same_negative_inputs():
+    # SAME padding must not let zero-padding win over negative activations
+    x = -np.ones((1, 3, 3, 1), np.float32)
+    out = MaxPool2D(pool_size=2, stride=2, padding="SAME").forward(Tensor(x))
+    assert (out.numpy() == -1.0).all()
+
+
+def test_flatten():
+    x = Tensor(np.arange(24, dtype=np.float32).reshape(2, 3, 4), requires_grad=True)
+    out = Flatten().forward(x)
+    assert out.shape == (2, 12)
+    out.backward(np.ones((2, 12)))
+    assert x.grad.shape == (2, 3, 4)
+
+
+def test_dropout_train_and_test():
+    x = Tensor(np.ones((100, 100), np.float32), requires_grad=True)
+    layer = Dropout(rate=0.4)
+    out = layer.forward(x)
+    vals = out.numpy()
+    kept = vals != 0
+    # survivors are scaled by 1/(1-p)
+    np.testing.assert_allclose(vals[kept], 1.0 / 0.6, rtol=1e-5)
+    assert 0.5 < kept.mean() < 0.7
+    out.backward(np.ones((100, 100)))
+    grads = np.asarray(x.grad)
+    np.testing.assert_allclose(grads[kept], 1.0 / 0.6, rtol=1e-5)
+    assert (grads[~kept] == 0).all()
+
+    layer.set_phase("TEST")
+    out = layer.forward(x)
+    np.testing.assert_array_equal(out.numpy(), np.ones((100, 100)))
+
+
+def test_shape_inference_chain():
+    from tinynn_autograd_tpu.models.cnn import build_mnist_cnn
+
+    net = build_mnist_cnn()
+    out_shape = net.init((8, 28, 28, 1))
+    assert out_shape == (8, 10)
+    assert net.is_init
+    # conv1 kernel materialized with inferred C_in
+    assert tuple(net.layers[0].params["w"].shape) == (3, 3, 1, 16)
+    assert tuple(net.layers[7].params["w"].shape) == (7 * 7 * 32, 128)

@@ -9,7 +9,14 @@ programs, and scaling is mesh data-parallelism with psum over ICI.
 
 from tinynn_autograd_tpu.core.tensor import Tensor, as_tensor
 from tinynn_autograd_tpu import ops
+from tinynn_autograd_tpu.nn import Model, Net
+from tinynn_autograd_tpu.nn import layers, losses, optimizer, initializer, evaluator, scheduler
+from tinynn_autograd_tpu import utils
 
 __version__ = "0.1.0"
 
-__all__ = ["Tensor", "as_tensor", "ops", "__version__"]
+__all__ = [
+    "Tensor", "as_tensor", "ops", "Model", "Net", "layers", "losses",
+    "optimizer", "initializer", "evaluator", "scheduler", "utils",
+    "__version__",
+]

@@ -1,0 +1,364 @@
+"""Network layers and activations (reference surface: core/layers.py).
+
+Every layer's forward is pure Tensor-algebra over the autograd primitives, so
+the same code path runs eagerly on device AND traces into the single fused
+XLA train-step program (see nn/model.py). Layers own their parameters as
+Tensors (lazy-initialized from the first input's shape, preserving the
+reference's API, reference: core/layers.py:43-46) and expose
+``param_shapes`` for checkpoint compatibility checks.
+
+Reference bugs fixed here (see SURVEY.md §2):
+- Sigmoid: the reference calls np.exp on a Tensor and crashes
+  (reference core/layers.py:74-80); ours is the real stable logistic.
+- Tanh: the reference computes tanh(x/2) (reference core/layers.py:83-89);
+  ours is true tanh.
+
+TPU additions beyond the reference: Conv2D + MaxPool2D (im2col-matmul so the
+conv FLOPs land on the MXU through the same Pallas matmul kernel as Dense —
+the reference has pad_ and conv-aware get_fans but no conv layer), Flatten,
+Dropout, LeakyReLU / GELU / Softplus.
+"""
+
+import numpy as np
+
+import tinynn_autograd_tpu.ops as ops
+from tinynn_autograd_tpu.nn.initializer import XavierUniformInit, ZerosInit
+from tinynn_autograd_tpu.utils import seeder
+
+
+class Layer:
+    """Base layer: named, owns ``params``/``grads`` dicts and a training
+    flag (reference contract: core/layers.py:10-22)."""
+
+    def __init__(self, name):
+        self.name = name
+        self.params, self.grads = {}, {}
+        self.is_training = True
+
+    def forward(self, inputs):
+        raise NotImplementedError
+
+    def init_params(self, input_shape):
+        """Static shape inference: materialize lazy params (if any) and
+        return the output shape. Default: shape-preserving, no params."""
+        return input_shape
+
+    def set_phase(self, phase):
+        self.is_training = phase == "TRAIN"
+
+    @property
+    def param_shapes(self):
+        return {k: tuple(v.shape) for k, v in self.params.items() if v is not None}
+
+    # layers with parameters override; others are always "initialized"
+    @property
+    def is_init(self):
+        return True
+
+
+class Dense(Layer):
+    """y = x @ w + b; w: [num_in, num_out], b: [1, num_out]
+    (reference: core/layers.py:25-57). ``num_in`` may be omitted and is
+    inferred from the first input (lazy init)."""
+
+    def __init__(self, num_out, num_in=None,
+                 w_init=None, b_init=None):
+        super().__init__("Linear")
+        self.initializers = {
+            "w": w_init if w_init is not None else XavierUniformInit(),
+            "b": b_init if b_init is not None else ZerosInit(),
+        }
+        self.shapes = {"w": [num_in, num_out], "b": [1, num_out]}
+        self.params = {"w": None, "b": None}
+
+        self._is_init = False
+        if num_in is not None:
+            self._init_parameters(num_in)
+
+    @property
+    def is_init(self):
+        return self._is_init
+
+    def forward(self, inputs):
+        if not self._is_init:
+            self._init_parameters(inputs.shape[-1])
+        return inputs @ self.params["w"] + self.params["b"]
+
+    def init_params(self, input_shape):
+        """Shape-only initialization (no compute) so jitted paths can
+        materialize params before tracing."""
+        if not self._is_init:
+            self._init_parameters(input_shape[-1])
+        return (input_shape[0], self.shapes["w"][1])
+
+    def _init_parameters(self, input_size):
+        self.shapes["w"][0] = int(input_size)
+        self.params["w"] = self.initializers["w"](self.shapes["w"])
+        self.params["b"] = self.initializers["b"](self.shapes["b"])
+        self._is_init = True
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def _conv_out_size(size, k, s, pad_lo, pad_hi):
+    return (size + pad_lo + pad_hi - k) // s + 1
+
+
+def _same_pad(size, k, s):
+    out = -(-size // s)  # ceil
+    total = max((out - 1) * s + k - size, 0)
+    return total // 2, total - total // 2
+
+
+class Conv2D(Layer):
+    """2-D convolution over NHWC inputs via im2col + MXU matmul.
+
+    kernel: [KH, KW, C_in, C_out]; the forward gathers input patches with a
+    static index map (autograd ``getitem`` — its scatter-add VJP *is*
+    col2im) and contracts them against the flattened kernel with the same
+    matmul primitive as Dense, so both directions of the conv are MXU
+    matmuls (driver config #4: im2col matmul fwd/bwd). The reference has no
+    conv layer (only its support ops: pad_, conv-aware get_fans).
+    """
+
+    def __init__(self, kernel, stride=1, padding="SAME",
+                 w_init=None, b_init=None):
+        """kernel: (KH, KW, C_in, C_out) — C_in may be None for lazy init."""
+        super().__init__("Conv2D")
+        self.kernel_shape = list(kernel)
+        self.stride = _pair(stride)
+        self.padding = padding
+        self.initializers = {
+            "w": w_init if w_init is not None else XavierUniformInit(),
+            "b": b_init if b_init is not None else ZerosInit(),
+        }
+        self.shapes = {"w": self.kernel_shape,
+                       "b": [1, self.kernel_shape[3]]}
+        self.params = {"w": None, "b": None}
+        self._is_init = False
+        if self.kernel_shape[2] is not None:
+            self._init_parameters(self.kernel_shape[2])
+        self._idx_cache = {}
+
+    @property
+    def is_init(self):
+        return self._is_init
+
+    def _init_parameters(self, c_in):
+        self.kernel_shape[2] = int(c_in)
+        self.shapes["w"] = self.kernel_shape
+        self.params["w"] = self.initializers["w"](self.kernel_shape)
+        self.params["b"] = self.initializers["b"](self.shapes["b"])
+        self._is_init = True
+
+    def init_params(self, input_shape):
+        n, h, w, _c = input_shape
+        if not self._is_init:
+            self._init_parameters(input_shape[3])
+        kh, kw, _, co = self.kernel_shape
+        (plo_h, phi_h), (plo_w, phi_w) = self._pads(h, w)
+        oh = _conv_out_size(h, kh, self.stride[0], plo_h, phi_h)
+        ow = _conv_out_size(w, kw, self.stride[1], plo_w, phi_w)
+        return (n, oh, ow, co)
+
+    def _pads(self, h, w):
+        kh, kw, _, _ = self.kernel_shape
+        sh, sw = self.stride
+        if self.padding == "SAME":
+            return _same_pad(h, kh, sh), _same_pad(w, kw, sw)
+        if self.padding == "VALID":
+            return (0, 0), (0, 0)
+        ph, pw = _pair(self.padding)
+        return (ph, ph), (pw, pw)
+
+    def _patch_indices(self, h, w):
+        """Static (rows, cols) index arrays of shape [OH, OW, KH, KW]."""
+        key = (h, w)
+        if key not in self._idx_cache:
+            kh, kw, _, _ = self.kernel_shape
+            sh, sw = self.stride
+            (plo_h, phi_h), (plo_w, phi_w) = self._pads(h, w)
+            oh = _conv_out_size(h, kh, sh, plo_h, phi_h)
+            ow = _conv_out_size(w, kw, sw, plo_w, phi_w)
+            r = (np.arange(oh)[:, None] * sh + np.arange(kh)[None, :])
+            c = (np.arange(ow)[:, None] * sw + np.arange(kw)[None, :])
+            rows = np.broadcast_to(r[:, None, :, None], (oh, ow, kh, kw))
+            cols = np.broadcast_to(c[None, :, None, :], (oh, ow, kh, kw))
+            self._idx_cache[key] = (
+                rows, cols, (plo_h, phi_h), (plo_w, phi_w), oh, ow)
+        return self._idx_cache[key]
+
+    def forward(self, inputs):
+        n, h, w, c = inputs.shape
+        if not self._is_init:
+            self._init_parameters(c)
+        kh, kw, c_in, c_out = self.kernel_shape
+        rows, cols, pad_h, pad_w, oh, ow = self._patch_indices(h, w)
+
+        x = inputs
+        if pad_h != (0, 0) or pad_w != (0, 0):
+            x = ops.pad(x, [(0, 0), pad_h, pad_w, (0, 0)])
+        # [N, OH, OW, KH, KW, C] gather; VJP = scatter-add (col2im)
+        patches = x[:, rows, cols, :]
+        cols_mat = patches.reshape((n * oh * ow, kh * kw * c_in))
+        w_mat = self.params["w"].reshape((kh * kw * c_in, c_out))
+        out = cols_mat @ w_mat + self.params["b"]
+        return out.reshape((n, oh, ow, c_out))
+
+
+class MaxPool2D(Layer):
+    """Max pooling over NHWC via the same static patch-gather + reduce-max.
+
+    Tie semantics follow the framework's reduce-max (every maximal element
+    receives the full gradient), matching the reference's reduce-max VJP
+    (reference: core/ops.py:225-230)."""
+
+    def __init__(self, pool_size=2, stride=None, padding="VALID"):
+        super().__init__("MaxPool2D")
+        self.pool_size = _pair(pool_size)
+        self.stride = _pair(stride) if stride is not None else self.pool_size
+        self.padding = padding
+        self._idx_cache = {}
+
+    def init_params(self, input_shape):
+        n, h, w, c = input_shape
+        *_ignored, oh, ow = self._indices(h, w)
+        return (n, oh, ow, c)
+
+    def _indices(self, h, w):
+        key = (h, w)
+        if key not in self._idx_cache:
+            kh, kw = self.pool_size
+            sh, sw = self.stride
+            if self.padding == "SAME":
+                pad_h, pad_w = _same_pad(h, kh, sh), _same_pad(w, kw, sw)
+            else:
+                pad_h, pad_w = (0, 0), (0, 0)
+            oh = _conv_out_size(h, kh, sh, *pad_h)
+            ow = _conv_out_size(w, kw, sw, *pad_w)
+            r = np.arange(oh)[:, None] * sh + np.arange(kh)[None, :]
+            c = np.arange(ow)[:, None] * sw + np.arange(kw)[None, :]
+            rows = np.broadcast_to(r[:, None, :, None], (oh, ow, kh, kw))
+            cols = np.broadcast_to(c[None, :, None, :], (oh, ow, kh, kw))
+            self._idx_cache[key] = (rows, cols, pad_h, pad_w, oh, ow)
+        return self._idx_cache[key]
+
+    def forward(self, inputs):
+        n, h, w, c = inputs.shape
+        rows, cols, pad_h, pad_w, oh, ow = self._indices(h, w)
+        x = inputs
+        if pad_h != (0, 0) or pad_w != (0, 0):
+            # pad with -inf so padding never wins the max
+            x = ops.pad(x, [(0, 0), pad_h, pad_w, (0, 0)],
+                        constant_values=-np.inf)
+        patches = x[:, rows, cols, :]  # [N, OH, OW, KH, KW, C]
+        return ops.max_(patches, axis=(3, 4))
+
+
+class Flatten(Layer):
+    """[N, ...] -> [N, prod(...)]."""
+
+    def __init__(self):
+        super().__init__("Flatten")
+
+    def init_params(self, input_shape):
+        return (input_shape[0], int(np.prod(input_shape[1:])))
+
+    def forward(self, inputs):
+        n = inputs.shape[0]
+        return inputs.reshape((n, int(np.prod(inputs.shape[1:]))))
+
+
+class Dropout(Layer):
+    """Inverted dropout; identity in TEST phase.
+
+    Under the fused jitted train step the mask key is threaded by the Model
+    (folded from the step counter) via ``set_rng``, so each compiled step
+    draws a fresh mask; eagerly it pulls from the global seeder stream.
+    """
+
+    def __init__(self, rate=0.5):
+        super().__init__("Dropout")
+        self.rate = rate
+        self._rng = None
+
+    def set_rng(self, rng):
+        self._rng = rng
+
+    def forward(self, inputs):
+        if not self.is_training or self.rate == 0.0:
+            return inputs
+        rng = self._rng if self._rng is not None else seeder.next_key()
+        self._rng = None
+        return ops.dropout_(inputs, self.rate, rng)
+
+
+class Activation(Layer):
+    """Stateless elementwise layer (reference contract:
+    core/layers.py:60-71)."""
+
+    def __init__(self, name):
+        super().__init__(name)
+
+    def forward(self, inputs):
+        return self.func(inputs)
+
+    def func(self, x):
+        raise NotImplementedError
+
+
+class Sigmoid(Activation):
+
+    def __init__(self):
+        super().__init__("Sigmoid")
+
+    def func(self, x):
+        return ops.sigmoid(x)
+
+
+class Tanh(Activation):
+
+    def __init__(self):
+        super().__init__("Tanh")
+
+    def func(self, x):
+        return ops.tanh(x)
+
+
+class ReLU(Activation):
+
+    def __init__(self):
+        super().__init__("ReLU")
+
+    def func(self, x):
+        return ops.relu(x)
+
+
+class LeakyReLU(Activation):
+
+    def __init__(self, negative_slope=0.01):
+        super().__init__("LeakyReLU")
+        self._slope = negative_slope
+
+    def func(self, x):
+        return ops.leaky_relu(x, self._slope)
+
+
+class GELU(Activation):
+
+    def __init__(self):
+        super().__init__("GELU")
+
+    def func(self, x):
+        return ops.gelu(x)
+
+
+class Softplus(Activation):
+
+    def __init__(self):
+        super().__init__("Softplus")
+
+    def func(self, x):
+        return ops.softplus(x)

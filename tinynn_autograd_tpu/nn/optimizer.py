@@ -1,0 +1,226 @@
+"""Optimizers (reference surface: core/optimizer.py) as per-leaf pytree
+updates.
+
+The reference flattens every gradient into ONE 1-D vector each step, runs the
+update there, and re-slices per parameter (reference: core/optimizer.py:12-35)
+— a gather/scatter round trip per step. All six update rules are elementwise,
+so per-leaf pytree updates are numerically IDENTICAL while letting XLA fuse
+each parameter's update into the backward pass of the same compiled program.
+
+Two entry points:
+- ``update(grads, params, state) -> (steps, new_state)`` — pure/functional,
+  traced inside the fused jitted train step (state is a pytree of device
+  arrays incl. the step counter, so the whole optimizer lives on-device).
+- ``compute_step(grads, params)`` — reference-compatible stateful facade
+  (list-of-dicts in, list-of-dicts of steps out).
+
+``weight_decay`` is implemented (step -= weight_decay * param — the rule the
+reference declares but leaves commented out, reference: core/optimizer.py:29-30).
+``lr`` may be a float or a schedule (see nn/scheduler.py) evaluated at the
+on-device step counter.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _tree_of(obj):
+    """Coerce list-of-dicts possibly holding Tensors into raw-array pytree."""
+    from tinynn_autograd_tpu.core.tensor import Tensor
+
+    return jax.tree.map(
+        lambda v: v.data if isinstance(v, Tensor) else jnp.asarray(v), obj
+    )
+
+
+class BaseOptimizer:
+
+    # names of per-parameter state slots, e.g. ("m", "v") for Adam
+    slot_names = ()
+
+    def __init__(self, lr, weight_decay=0.0):
+        self.lr = lr
+        self.weight_decay = weight_decay
+        self._state = None
+
+    # ------------------------------------------------------ functional API
+
+    def init_state(self, params):
+        slots = {
+            name: jax.tree.map(jnp.zeros_like, params)
+            for name in self.slot_names
+        }
+        return {"t": jnp.zeros((), jnp.int32), "slots": slots}
+
+    def _lr_at(self, t):
+        if callable(self.lr):
+            return self.lr(t)
+        return self.lr
+
+    def update(self, grads, params, state):
+        """Pure update: returns (steps, new_state); params are NOT mutated.
+
+        ``steps`` is what gets ADDED to params (reference sign convention:
+        param += step, reference core/model.py:58-61).
+        """
+        t = state["t"] + 1
+        lr = self._lr_at(t)
+
+        g_leaves, treedef = jax.tree.flatten(grads)
+        p_leaves = treedef.flatten_up_to(params)
+        slot_leaves = {
+            n: treedef.flatten_up_to(state["slots"][n])
+            for n in self.slot_names
+        }
+
+        steps = []
+        new_slots = {n: [] for n in self.slot_names}
+        for i, (g, p) in enumerate(zip(g_leaves, p_leaves)):
+            g = g.astype(p.dtype)
+            slots_i = {n: slot_leaves[n][i] for n in self.slot_names}
+            step, updated = self._step_leaf(g, lr, t, slots_i)
+            if self.weight_decay:
+                step = step - self.weight_decay * p
+            steps.append(step)
+            for n in self.slot_names:
+                new_slots[n].append(updated[n])
+
+        new_state = {
+            "t": t,
+            "slots": {
+                n: jax.tree.unflatten(treedef, new_slots[n])
+                for n in self.slot_names
+            },
+        }
+        return jax.tree.unflatten(treedef, steps), new_state
+
+    def _step_leaf(self, g, lr, t, slots):
+        raise NotImplementedError
+
+    # ----------------------------------------- reference-compatible facade
+
+    def compute_step(self, grads, params):
+        """Stateful eager facade (reference contract:
+        core/optimizer.py:12-35): same list-of-dicts structures in/out."""
+        grads_t = _tree_of(grads)
+        params_t = _tree_of(params)
+        if self._state is None:
+            self._state = self.init_state(params_t)
+        steps, self._state = self.update(grads_t, params_t, self._state)
+        return steps
+
+    def reset(self):
+        self._state = None
+
+    def state_dict(self):
+        return self._state
+
+    def load_state_dict(self, state):
+        self._state = state
+
+
+class SGD(BaseOptimizer):
+    """step = -lr * g (reference: core/optimizer.py:41-47)."""
+
+    def __init__(self, lr, weight_decay=0.0):
+        super().__init__(lr, weight_decay)
+
+    def _step_leaf(self, g, lr, t, slots):
+        return -lr * g, {}
+
+
+class Momentum(BaseOptimizer):
+    """acc = momentum * acc + g; step = -lr * acc
+    (reference: core/optimizer.py:113-126)."""
+
+    slot_names = ("acc",)
+
+    def __init__(self, lr, momentum=0.9, weight_decay=0.0):
+        super().__init__(lr, weight_decay)
+        self._momentum = momentum
+
+    def _step_leaf(self, g, lr, t, slots):
+        acc = self._momentum * slots["acc"] + g
+        return -lr * acc, {"acc": acc}
+
+
+class Adam(BaseOptimizer):
+    """EMA moments with bias correction (reference: core/optimizer.py:50-79):
+    m += (1-b1)(g - m); v += (1-b2)(g^2 - v);
+    step = -lr * m_hat / (sqrt(v_hat) + eps).
+    """
+
+    slot_names = ("m", "v")
+
+    def __init__(self, lr=0.001, beta1=0.9, beta2=0.999, epsilon=1e-8,
+                 weight_decay=0.0):
+        super().__init__(lr, weight_decay)
+        self._b1 = beta1
+        self._b2 = beta2
+        self._eps = epsilon
+
+    def _step_leaf(self, g, lr, t, slots):
+        m = slots["m"] + (1.0 - self._b1) * (g - slots["m"])
+        v = slots["v"] + (1.0 - self._b2) * (g * g - slots["v"])
+        tf = t.astype(jnp.float32)
+        m_hat = m / (1.0 - self._b1 ** tf)
+        v_hat = v / (1.0 - self._b2 ** tf)
+        step = -lr * m_hat / (v_hat ** 0.5 + self._eps)
+        return step, {"m": m, "v": v}
+
+
+class RMSProp(BaseOptimizer):
+    """ms = decay*ms + (1-decay)*g^2;
+    mom = momentum*mom + lr*g/sqrt(ms + eps); step = -mom
+    (reference: core/optimizer.py:82-110)."""
+
+    slot_names = ("ms", "mom")
+
+    def __init__(self, lr=0.01, decay=0.99, momentum=0.0, epsilon=1e-8,
+                 weight_decay=0.0):
+        super().__init__(lr, weight_decay)
+        self._decay = decay
+        self._momentum = momentum
+        self._eps = epsilon
+
+    def _step_leaf(self, g, lr, t, slots):
+        ms = slots["ms"] + (1.0 - self._decay) * (g * g - slots["ms"])
+        mom = self._momentum * slots["mom"] + lr * g / (ms + self._eps) ** 0.5
+        return -mom, {"ms": ms, "mom": mom}
+
+
+class Adagrad(BaseOptimizer):
+    """G += g^2; step = -(lr / sqrt(G + eps)) * g
+    (reference: core/optimizer.py:129-144)."""
+
+    slot_names = ("G",)
+
+    def __init__(self, lr, weight_decay=0.0, epsilon=1e-8):
+        super().__init__(lr, weight_decay)
+        self._eps = epsilon
+
+    def _step_leaf(self, g, lr, t, slots):
+        G = slots["G"] + g * g
+        return -(lr / (G + self._eps) ** 0.5) * g, {"G": G}
+
+
+class Adadelta(BaseOptimizer):
+    """Zeiler 2012 (reference: core/optimizer.py:147-164):
+    Eg = decay*Eg + (1-decay)*g^2; delta_step = g * sqrt(d + eps)/sqrt(Eg + eps);
+    step = -lr * delta_step; d = decay*d + (1-decay)*delta_step^2.
+    """
+
+    slot_names = ("Eg", "d")
+
+    def __init__(self, lr=1.0, weight_decay=0.0, decay=0.9, epsilon=1e-8):
+        super().__init__(lr, weight_decay)
+        self._decay = decay
+        self._eps = epsilon
+
+    def _step_leaf(self, g, lr, t, slots):
+        Eg = slots["Eg"] + (1.0 - self._decay) * (g * g - slots["Eg"])
+        std = (slots["d"] + self._eps) ** 0.5
+        delta = g * std / (Eg + self._eps) ** 0.5
+        step = -lr * delta
+        d = slots["d"] + (1.0 - self._decay) * (delta * delta - slots["d"])
+        return step, {"Eg": Eg, "d": d}

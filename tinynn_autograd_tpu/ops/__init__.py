@@ -85,8 +85,9 @@ def reshape(obj, newshape):
     return reshape_(_as_tensor(obj), newshape)
 
 
-def pad(obj, pad_width, mode="constant"):
-    return pad_(_as_tensor(obj), pad_width, mode=mode)
+def pad(obj, pad_width, mode="constant", constant_values=0):
+    return pad_(_as_tensor(obj), pad_width, mode=mode,
+                constant_values=constant_values)
 
 
 def flatten(obj):

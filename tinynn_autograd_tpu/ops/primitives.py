@@ -380,14 +380,19 @@ def reshape_(ts, newshape):
     return build_unary_ops_tensor(ts, grad_fn, values)
 
 
-def pad_(ts, pad_width, mode="constant"):
+def pad_(ts, pad_width, mode="constant", constant_values=0):
     """Pad; gradient slices out the interior (reference: core/ops.py:311-320).
 
     The interior-slice adjoint is only correct for constant padding, so other
     modes refuse to build a tape edge instead of silently producing wrong
     gradients (the reference computes the same slice for every mode).
+    ``constant_values`` supports e.g. -inf padding for pooling windows.
     """
-    values = jnp.pad(ts.data, pad_width=pad_width, mode=mode)
+    if mode == "constant":
+        values = jnp.pad(ts.data, pad_width=pad_width, mode=mode,
+                         constant_values=constant_values)
+    else:
+        values = jnp.pad(ts.data, pad_width=pad_width, mode=mode)
     if ts.requires_grad and mode != "constant":
         raise ValueError(
             "pad gradient is only defined for mode='constant', got %r" % mode

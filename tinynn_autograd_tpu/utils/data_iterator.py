@@ -1,0 +1,53 @@
+"""Batch iteration (reference surface: utils/data_iterator.py).
+
+``BatchIterator`` shuffles with a host-side numpy permutation (cheap, and
+keeps the device free) and yields ``Batch(inputs, targets)`` namedtuples
+(reference contract: utils/data_iterator.py:7-34).
+
+TPU addition: ``drop_last`` — under jit, every distinct batch shape compiles
+a separate XLA program, so dropping the ragged final batch keeps the whole
+epoch on ONE compiled train step. Default False for reference parity.
+"""
+
+from collections import namedtuple
+
+import numpy as np
+
+Batch = namedtuple("Batch", ["inputs", "targets"])
+
+
+class BaseIterator:
+
+    def __call__(self, inputs, targets):
+        raise NotImplementedError
+
+
+class BatchIterator(BaseIterator):
+
+    def __init__(self, batch_size=32, shuffle=True, drop_last=False):
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+
+    def __call__(self, inputs, targets):
+        from tinynn_autograd_tpu.core.tensor import Tensor
+
+        n = len(inputs)
+        if self.shuffle:
+            perm = np.random.permutation(n)
+        else:
+            perm = None
+
+        stop = n - n % self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            if self.drop_last and start + self.batch_size > n:
+                break
+            if perm is not None:
+                idx = perm[start:start + self.batch_size]
+                batch_inputs = inputs[idx]
+                batch_targets = targets[idx]
+            else:
+                end = start + self.batch_size
+                batch_inputs = inputs[start:end]
+                batch_targets = targets[start:end]
+            yield Batch(inputs=batch_inputs, targets=batch_targets)
