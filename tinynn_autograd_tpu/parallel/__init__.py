@@ -1,0 +1,6 @@
+from tinynn_autograd_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, replicated_sharding,
+)
+from tinynn_autograd_tpu.parallel.data_parallel import DataParallel
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "DataParallel"]

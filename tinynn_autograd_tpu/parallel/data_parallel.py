@@ -1,0 +1,130 @@
+"""Data parallelism: batch-sharded fused train step with gradient psum over
+ICI (driver config #5; the reference is strictly single-device, SURVEY.md
+§2.2).
+
+Design: ``shard_map`` over a 1-D mesh. Each device runs the SAME fused
+forward + tape-backward + optimizer program (see nn/model.py) on its batch
+shard; the only cross-device traffic is one ``pmean`` of the gradient pytree
+(XLA lowers it to an ICI all-reduce) between the tape walk and the optimizer
+update, plus a scalar pmean for the reported loss. Params and optimizer state
+are replicated, stay resident in HBM, and are donated across steps.
+
+Because each shard's loss divides by the LOCAL batch size, pmean of the shard
+gradients equals the gradient of the global-mean loss — training is
+numerically equivalent (up to reduction order) to single-device training on
+the full batch, which the tests verify on a simulated 8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tinynn_autograd_tpu.core.tensor import Tensor
+from tinynn_autograd_tpu.parallel.mesh import make_mesh
+from tinynn_autograd_tpu.utils import seeder
+
+
+class DataParallel:
+    """Wrap a Model for mesh data-parallel training.
+
+    Usage::
+
+        model = Model(net, loss, optimizer)
+        dp = DataParallel(model, mesh=make_mesh())   # or n_devices=8
+        loss = dp.train_step(x, y)                   # global batch in, loss out
+    """
+
+    def __init__(self, model, mesh=None, n_devices=None, axis_name="data"):
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices, axis_name)
+        self.axis_name = axis_name
+        self.n_devices = self.mesh.devices.size
+        self._params = None
+        self._opt_state = None
+        self._step_fn = None
+        self._base_key = None
+
+    # -------------------------------------------------------------- helpers
+
+    @property
+    def net(self):
+        return self.model.net
+
+    def _ensure_init(self, input_shape):
+        if not self.net.is_init:
+            self.net.init(input_shape)
+
+    def _build(self):
+        net = self.net
+        loss_fn = self.model.loss
+        optimizer = self.model.optimizer
+        axis = self.axis_name
+        base_key = self._base_key
+
+        def local_step(params, opt_state, xb, yb):
+            # runs per device on its batch shard
+            net.bind_params(params)
+            rng = jax.random.fold_in(base_key, opt_state["t"])
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            pred = net.forward(Tensor(xb), rng=rng)
+            loss_t = loss_fn.loss(pred, Tensor(yb))
+            loss_t.backward()
+            grads = net.collect_grads()
+            # the one collective: gradient all-reduce over ICI
+            grads = jax.tree.map(
+                lambda g: jax.lax.pmean(g, axis_name=axis), grads)
+            steps, new_opt_state = optimizer.update(grads, params, opt_state)
+            new_params = jax.tree.map(lambda p, s: p + s, params, steps)
+            loss_out = jax.lax.pmean(loss_t.data, axis_name=axis)
+            return new_params, new_opt_state, loss_out
+
+        sharded = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(self.axis_name), P(self.axis_name)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        self.net.set_phase("TRAIN")
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------ train API
+
+    def train_step(self, x, y):
+        """One data-parallel step on a GLOBAL batch (leading dim must divide
+        by the mesh size). Returns the global mean loss (device scalar)."""
+        x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
+        y = jnp.asarray(y.data if isinstance(y, Tensor) else y)
+        if x.shape[0] % self.n_devices:
+            raise ValueError(
+                "Global batch %d not divisible by mesh size %d"
+                % (x.shape[0], self.n_devices))
+        self._ensure_init(x.shape)
+
+        if self._params is None:
+            self._params = self.net.params_tree()
+        if self._opt_state is None:
+            self._opt_state = self.model.optimizer.init_state(self._params)
+        if self._base_key is None:
+            self._base_key = seeder.next_key()
+        if self._step_fn is None:
+            self._step_fn = self._build()
+            # pre-place the batch sharding so host->device transfer lands
+            # each shard directly on its device
+            self._x_sharding = NamedSharding(self.mesh, P(self.axis_name))
+
+        x = jax.device_put(x, self._x_sharding)
+        y = jax.device_put(y, self._x_sharding)
+        self._params, self._opt_state, loss = self._step_fn(
+            self._params, self._opt_state, x, y)
+        self.net.bind_params(self._params)
+        return loss
+
+    def predict(self, x):
+        """Batch-sharded jitted inference over the mesh."""
+        return self.model.predict(x)
+
+    def save(self, path):
+        self.model._params = self._params
+        self.model._opt_state = self._opt_state
+        self.model.save(path)
