@@ -103,28 +103,104 @@ class Model:
 
         key = ("train_step",)
         if key not in self._jitted:
-            net, loss_fn, optimizer = self.net, self.loss, self.optimizer
-            base_key = self._base_key
-
-            def step_fn(params, opt_state, xb, yb):
-                net.bind_params(params)
-                rng = jax.random.fold_in(base_key, opt_state["t"])
-                pred = net.forward(Tensor(xb), rng=rng)
-                loss_t = loss_fn.loss(pred, Tensor(yb))
-                loss_t.backward()
-                grads = net.collect_grads()
-                steps, new_opt_state = optimizer.update(grads, params, opt_state)
-                new_params = jax.tree.map(lambda p, s: p + s, params, steps)
-                return new_params, new_opt_state, loss_t.data
-
             self.net.set_phase("TRAIN")
-            self._jitted[key] = jax.jit(step_fn, donate_argnums=(0, 1))
+            self._jitted[key] = jax.jit(
+                self._step_core(), donate_argnums=(0, 1))
 
         self._params, self._opt_state, loss = self._jitted[key](
             self._params, self._opt_state, x, y
         )
         self._rebind_concrete()
         return loss
+
+    def _step_core(self):
+        """The pure fused step: forward + tape backward + optimizer update.
+        Shared by the per-step jit, the scanned epoch, and (with a psum
+        spliced in) the data-parallel path."""
+        net, loss_fn, optimizer = self.net, self.loss, self.optimizer
+        base_key = self._base_key
+
+        def step_fn(params, opt_state, xb, yb):
+            net.bind_params(params)
+            rng = jax.random.fold_in(base_key, opt_state["t"])
+            pred = net.forward(Tensor(xb), rng=rng)
+            loss_t = loss_fn.loss(pred, Tensor(yb))
+            loss_t.backward()
+            grads = net.collect_grads()
+            steps, new_opt_state = optimizer.update(grads, params, opt_state)
+            new_params = jax.tree.map(lambda p, s: p + s, params, steps)
+            return new_params, new_opt_state, loss_t.data
+
+        return step_fn
+
+    def stage(self, x, y=None):
+        """Move data into device HBM once; returns device array(s). Feed the
+        result to ``train_epoch`` so epochs run with ZERO host->device
+        traffic (the usual bottleneck when the host link is slow)."""
+        x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
+        if y is None:
+            return jax.device_put(x)
+        y = jnp.asarray(y.data if isinstance(y, Tensor) else y)
+        return jax.device_put(x), jax.device_put(y)
+
+    def train_epoch(self, x_all, y_all, batch_size=128, shuffle=True):
+        """One full epoch as ONE device dispatch: an on-device shuffle
+        (jax.random.permutation gather at HBM bandwidth) followed by
+        ``lax.scan`` of the fused train step over the batched dataset.
+
+        This is the TPU-native replacement for the reference's per-batch
+        Python loop (reference: examples/mnist/run.py:76-84): no per-step
+        dispatch, no per-step host<->device transfer — the interconnect sees
+        one launch per epoch. The ragged tail (n % batch_size) is dropped,
+        like BatchIterator(drop_last=True).
+
+        Returns the per-step loss trace as a device array [n_steps].
+        """
+        x_all = jnp.asarray(x_all.data if isinstance(x_all, Tensor) else x_all)
+        y_all = jnp.asarray(y_all.data if isinstance(y_all, Tensor) else y_all)
+        self._ensure_init((batch_size,) + x_all.shape[1:])
+
+        if self._params is None:
+            self._params = self.net.params_tree()
+        if self._opt_state is None:
+            self._opt_state = self.optimizer.init_state(self._params)
+        if self._base_key is None:
+            self._base_key = seeder.next_key()
+        if self._phase != "TRAIN":
+            self.set_phase("TRAIN")
+
+        n = x_all.shape[0]
+        n_steps = n // batch_size
+        key = ("train_epoch", batch_size, bool(shuffle), n)
+        if key not in self._jitted:
+            self.net.set_phase("TRAIN")
+            step_fn = self._step_core()
+
+            def epoch_fn(params, opt_state, xs, ys, rng):
+                if shuffle:
+                    perm = jax.random.permutation(rng, n)[: n_steps * batch_size]
+                else:
+                    perm = jnp.arange(n_steps * batch_size)
+                xb = xs[perm].reshape((n_steps, batch_size) + xs.shape[1:])
+                yb = ys[perm].reshape((n_steps, batch_size) + ys.shape[1:])
+
+                def body(carry, batch):
+                    params, opt_state = carry
+                    params, opt_state, loss = step_fn(
+                        params, opt_state, batch[0], batch[1])
+                    return (params, opt_state), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), (xb, yb))
+                return params, opt_state, losses
+
+            self._jitted[key] = jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+        epoch_rng = seeder.next_key()
+        self._params, self._opt_state, losses = self._jitted[key](
+            self._params, self._opt_state, x_all, y_all, epoch_rng)
+        self._rebind_concrete()
+        return losses
 
     def evaluate_batch(self, x, y, evaluator):
         """Jitted TEST-phase forward + argmax for classification eval."""
