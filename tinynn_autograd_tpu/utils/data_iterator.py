@@ -32,11 +32,19 @@ class BatchIterator(BaseIterator):
     def __call__(self, inputs, targets):
         from tinynn_autograd_tpu.core.tensor import Tensor
 
+        from tinynn_autograd_tpu import native
+
         n = len(inputs)
         if self.shuffle:
             perm = np.random.permutation(n)
         else:
             perm = None
+
+        def take(arr, idx):
+            # native multithreaded row gather for contiguous f32 host arrays
+            if isinstance(arr, np.ndarray):
+                return native.gather_rows(arr, idx)
+            return arr[idx]
 
         stop = n - n % self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
@@ -44,8 +52,8 @@ class BatchIterator(BaseIterator):
                 break
             if perm is not None:
                 idx = perm[start:start + self.batch_size]
-                batch_inputs = inputs[idx]
-                batch_targets = targets[idx]
+                batch_inputs = take(inputs, idx)
+                batch_targets = take(targets, idx)
             else:
                 end = start + self.batch_size
                 batch_inputs = inputs[start:end]
