@@ -42,20 +42,23 @@ def main():
     x_dev, y_dev = model.stage(train_x, train_y)
     steps_per_epoch = len(train_x) // batch
 
-    # warmup: compile + one steady epoch. NB: timing is closed by a host
-    # readback of the final loss, not block_until_ready — on tunneled/remote
-    # platforms only a readback reliably observes execution completion.
-    losses = model.train_epoch(x_dev, y_dev, batch_size=batch)
-    losses = model.train_epoch(x_dev, y_dev, batch_size=batch)
-    float(np.asarray(losses)[-1])
-
-    # enough epochs that the single closing readback RTT (~30ms on tunneled
-    # platforms) is noise
+    # warmup: compile + steady state. NB: timing is closed by a host readback
+    # of the final loss, not block_until_ready — on tunneled/remote platforms
+    # only a readback reliably observes execution completion.
     n_epochs = 40
+    # warmup with the SAME n_epochs: the epoch count is baked into the
+    # compiled program, so a different count would recompile mid-measurement
+    losses = model.train_epochs(x_dev, y_dev, n_epochs=n_epochs,
+                                batch_size=batch)
+    float(np.asarray(losses)[-1, -1])
+
+    # the whole measured run is ONE device dispatch (outer lax.scan over
+    # epochs around the fused/megakernel epoch), so neither per-step nor
+    # per-epoch dispatch latency pollutes the number
     start = time.perf_counter()
-    for _ in range(n_epochs):
-        losses = model.train_epoch(x_dev, y_dev, batch_size=batch)
-    final_loss = float(np.asarray(losses)[-1])
+    losses = model.train_epochs(x_dev, y_dev, n_epochs=n_epochs,
+                                batch_size=batch)
+    final_loss = float(np.asarray(losses)[-1, -1])
     elapsed = time.perf_counter() - start
     assert np.isfinite(final_loss)
 

@@ -1,0 +1,83 @@
+"""Fused-epoch Pallas megakernel (interpret mode on CPU): must match the
+scanned-epoch path numerically — same tape, same optimizer, different
+execution tier."""
+
+import numpy as np
+import pytest
+
+from tinynn_autograd_tpu.nn.layers import Dense, ReLU, Sigmoid
+from tinynn_autograd_tpu.nn.losses import MSELoss, SoftmaxCrossEntropyLoss
+from tinynn_autograd_tpu.nn.model import Model
+from tinynn_autograd_tpu.nn.net import Net
+from tinynn_autograd_tpu.nn.optimizer import Adam, Momentum, SGD
+from tinynn_autograd_tpu.utils.seeder import random_seed
+
+
+def _toy(seed, opt):
+    random_seed(seed)
+    net = Net([Dense(16, num_in=8), ReLU(), Dense(4, num_in=16)])
+    return Model(net, SoftmaxCrossEntropyLoss(), opt)
+
+
+def _data(n=64):
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, 8).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, n)]
+    return x, y
+
+
+@pytest.mark.parametrize("make_opt", [
+    lambda: SGD(lr=0.05),
+    lambda: Momentum(lr=0.05, momentum=0.9),
+    lambda: Adam(lr=1e-2),
+], ids=["sgd", "momentum", "adam"])
+def test_fused_epoch_matches_scan(make_opt):
+    x, y = _data(64)
+    m_fused = _toy(1, make_opt())
+    m_scan = _toy(1, make_opt())
+
+    for _ in range(2):
+        lf = m_fused.train_epoch(x, y, batch_size=16, shuffle=False,
+                                 fused=True)
+        ls = m_scan.train_epoch(x, y, batch_size=16, shuffle=False,
+                                fused=False)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ls),
+                               rtol=1e-4, atol=1e-5)
+    for layer_f, layer_s in zip(m_fused._params, m_scan._params):
+        for k in layer_f:
+            np.testing.assert_allclose(
+                np.asarray(layer_f[k]), np.asarray(layer_s[k]),
+                rtol=1e-4, atol=1e-5)
+    # optimizer step counters advanced identically
+    assert int(m_fused._opt_state["t"]) == int(m_scan._opt_state["t"]) == 8
+
+
+def test_fused_epoch_with_shuffle_runs():
+    x, y = _data(64)
+    model = _toy(2, Adam(lr=1e-2))
+    losses = model.train_epoch(x, y, batch_size=16, fused=True)
+    assert losses.shape == (4,)
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_fused_epoch_then_scan_interop():
+    # switching tiers mid-training keeps params/opt state coherent
+    x, y = _data(64)
+    model = _toy(3, Adam(lr=1e-2))
+    model.train_epoch(x, y, batch_size=16, fused=True)
+    losses = model.train_epoch(x, y, batch_size=16, fused=False)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert int(model._opt_state["t"]) == 8
+
+
+def test_supports_gating():
+    from tinynn_autograd_tpu.nn.layers import Dropout
+    from tinynn_autograd_tpu.ops import fused_epoch
+
+    net = Net([Dense(4, num_in=8), Sigmoid()])
+    net.init((16, 8))
+    assert fused_epoch.supports(net, net.params_tree(), Adam())
+
+    net2 = Net([Dense(4, num_in=8), Dropout(0.5)])
+    net2.init((16, 8))
+    assert not fused_epoch.supports(net2, net2.params_tree(), Adam())

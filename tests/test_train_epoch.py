@@ -63,6 +63,33 @@ def test_epoch_drops_ragged_tail():
     assert losses.shape == (4,)
 
 
+def test_train_epochs_one_dispatch_matches_loop():
+    # N epochs in one dispatch == N train_epoch calls (no shuffle)
+    x, y = _data(64)
+    m_multi = _toy(5, SGD(lr=0.05))
+    m_loop = _toy(5, SGD(lr=0.05))
+
+    losses_multi = np.asarray(
+        m_multi.train_epochs(x, y, n_epochs=3, batch_size=16, shuffle=False))
+    assert losses_multi.shape == (3, 4)
+    loop = [np.asarray(m_loop.train_epoch(x, y, batch_size=16, shuffle=False))
+            for _ in range(3)]
+    np.testing.assert_allclose(losses_multi, np.stack(loop),
+                               rtol=1e-5, atol=1e-6)
+    assert int(m_multi._opt_state["t"]) == 12
+
+
+def test_train_epochs_fused_matches_scan():
+    x, y = _data(64)
+    m_f = _toy(6, Adam(lr=1e-2))
+    m_s = _toy(6, Adam(lr=1e-2))
+    lf = np.asarray(m_f.train_epochs(x, y, 3, batch_size=16, shuffle=False,
+                                     fused=True))
+    ls = np.asarray(m_s.train_epochs(x, y, 3, batch_size=16, shuffle=False,
+                                     fused=False))
+    np.testing.assert_allclose(lf, ls, rtol=1e-4, atol=1e-5)
+
+
 def test_epoch_then_predict_consistent():
     x, y = _data(64)
     model = _toy(4, Adam(lr=1e-2))

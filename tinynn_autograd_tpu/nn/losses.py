@@ -45,9 +45,11 @@ class SoftmaxCrossEntropyLoss(BaseLoss):
         logits, labels = as_tensor(logits), as_tensor(labels)
         m = logits.shape[0]
         log_p = ops.log_softmax_(logits, axis=-1)
-        nll = -(log_p * labels).sum(axis=1)
+        # keepdims: all intermediates stay 2-D, which both XLA and Mosaic
+        # (the fused-epoch kernel) lay out cleanly; same math either way
+        nll = -(log_p * labels).sum(axis=1, keepdims=True)
         if self._weight is not None:
-            per_sample_w = (labels * self._weight).sum(axis=1)
+            per_sample_w = (labels * self._weight).sum(axis=1, keepdims=True)
             nll = nll * per_sample_w
         return nll.sum() / m
 

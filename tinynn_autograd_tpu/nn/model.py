@@ -143,7 +143,8 @@ class Model:
         y = jnp.asarray(y.data if isinstance(y, Tensor) else y)
         return jax.device_put(x), jax.device_put(y)
 
-    def train_epoch(self, x_all, y_all, batch_size=128, shuffle=True):
+    def train_epoch(self, x_all, y_all, batch_size=128, shuffle=True,
+                    fused="auto"):
         """One full epoch as ONE device dispatch: an on-device shuffle
         (jax.random.permutation gather at HBM bandwidth) followed by
         ``lax.scan`` of the fused train step over the batched dataset.
@@ -153,6 +154,12 @@ class Model:
         dispatch, no per-step host<->device transfer — the interconnect sees
         one launch per epoch. The ragged tail (n % batch_size) is dropped,
         like BatchIterator(drop_last=True).
+
+        ``fused``: "auto" additionally promotes eligible models (stateless
+        layer stack, params fit in VMEM, TPU backend) to the fused-epoch
+        Pallas megakernel — params pinned in VMEM across all steps, batches
+        streamed (see ops/fused_epoch.py). True forces it (interpret mode
+        off-TPU, for tests); False sticks to the scanned epoch.
 
         Returns the per-step loss trace as a device array [n_steps].
         """
@@ -169,38 +176,151 @@ class Model:
         if self._phase != "TRAIN":
             self.set_phase("TRAIN")
 
+        return self.train_epochs(x_all, y_all, n_epochs=1,
+                                 batch_size=batch_size, shuffle=shuffle,
+                                 fused=fused)[0]
+
+    def train_epochs(self, x_all, y_all, n_epochs, batch_size=128,
+                     shuffle=True, fused="auto"):
+        """``n_epochs`` full epochs as ONE device dispatch: an outer
+        ``lax.scan`` over per-epoch PRNG keys around the epoch body. On
+        hosts with a slow device link, per-dispatch latency dominates even
+        one-dispatch-per-epoch training — this amortizes it over the whole
+        run. Returns the loss trace [n_epochs, n_steps]."""
+        x_all = jnp.asarray(x_all.data if isinstance(x_all, Tensor) else x_all)
+        y_all = jnp.asarray(y_all.data if isinstance(y_all, Tensor) else y_all)
+        self._ensure_init((batch_size,) + x_all.shape[1:])
+
+        if self._params is None:
+            self._params = self.net.params_tree()
+        if self._opt_state is None:
+            self._opt_state = self.optimizer.init_state(self._params)
+        if self._base_key is None:
+            self._base_key = seeder.next_key()
+        if self._phase != "TRAIN":
+            self.set_phase("TRAIN")
+
         n = x_all.shape[0]
         n_steps = n // batch_size
-        key = ("train_epoch", batch_size, bool(shuffle), n)
-        if key not in self._jitted:
-            self.net.set_phase("TRAIN")
-            step_fn = self._step_core()
 
-            def epoch_fn(params, opt_state, xs, ys, rng):
-                if shuffle:
-                    perm = jax.random.permutation(rng, n)[: n_steps * batch_size]
-                else:
-                    perm = jnp.arange(n_steps * batch_size)
-                xb = xs[perm].reshape((n_steps, batch_size) + xs.shape[1:])
-                yb = ys[perm].reshape((n_steps, batch_size) + ys.shape[1:])
+        use_fused = fused is True or (fused == "auto" and self._fused_ok())
+        interpret = fused is True and jax.default_backend() != "tpu"
 
-                def body(carry, batch):
-                    params, opt_state = carry
-                    params, opt_state, loss = step_fn(
-                        params, opt_state, batch[0], batch[1])
-                    return (params, opt_state), loss
+        while True:
+            key = ("train_epochs", n_epochs, batch_size, bool(shuffle), n,
+                   use_fused, interpret)
+            try:
+                if key not in self._jitted:
+                    self.net.set_phase("TRAIN")
+                    epoch_body = self._make_epoch_body(
+                        n, n_steps, batch_size, shuffle,
+                        x_all.shape[1:], y_all.shape[1:],
+                        use_fused, interpret)
 
-                (params, opt_state), losses = jax.lax.scan(
-                    body, (params, opt_state), (xb, yb))
-                return params, opt_state, losses
+                    def runner(params, opt_state, xs, ys, rng):
+                        def body(carry, ekey):
+                            params, opt_state = carry
+                            params, opt_state, losses = epoch_body(
+                                params, opt_state, xs, ys, ekey)
+                            return (params, opt_state), losses
 
-            self._jitted[key] = jax.jit(epoch_fn, donate_argnums=(0, 1))
+                        keys = jax.random.split(rng, n_epochs)
+                        (params, opt_state), losses = jax.lax.scan(
+                            body, (params, opt_state), keys)
+                        return params, opt_state, losses
 
-        epoch_rng = seeder.next_key()
-        self._params, self._opt_state, losses = self._jitted[key](
-            self._params, self._opt_state, x_all, y_all, epoch_rng)
-        self._rebind_concrete()
-        return losses
+                    self._jitted[key] = jax.jit(runner, donate_argnums=(0, 1))
+
+                rng = seeder.next_key()
+                self._params, self._opt_state, losses = self._jitted[key](
+                    self._params, self._opt_state, x_all, y_all, rng)
+                self._rebind_concrete()
+                return losses
+            except Exception:
+                if not use_fused or fused is True:
+                    raise
+                # fused path failed to build/compile: fall back to scan
+                self._fused_broken = True
+                use_fused = False
+
+    def _make_epoch_body(self, n, n_steps, batch_size, shuffle,
+                         feat_shape, label_feat_shape, use_fused, interpret):
+        """Pure fn(params, opt_state, xs, ys, rng) -> (params, opt_state,
+        losses[n_steps]): on-device shuffle + either the fused VMEM Pallas
+        megakernel (ops/fused_epoch.py) or a lax.scan of the fused step."""
+        batch_shape = (batch_size,) + tuple(feat_shape)
+        label_shape = (batch_size,) + tuple(label_feat_shape)
+
+        def gather(xs, ys, rng):
+            if shuffle:
+                perm = jax.random.permutation(rng, n)[: n_steps * batch_size]
+            else:
+                perm = jnp.arange(n_steps * batch_size)
+            xb = xs[perm].reshape((n_steps,) + batch_shape)
+            yb = ys[perm].reshape((n_steps,) + label_shape)
+            return xb, yb
+
+        if use_fused:
+            from tinynn_autograd_tpu.ops import fused_epoch
+
+            leaves, treedef = jax.tree.flatten(self._params)
+            leaf_shapes = [tuple(l.shape) for l in leaves]
+            slot_names = self.optimizer.slot_names
+            epoch_fn = fused_epoch.build_fused_epoch(
+                self.net, self.loss, self.optimizer, treedef, leaf_shapes,
+                n_steps, batch_shape, label_shape, interpret=interpret)
+            nl = len(leaf_shapes)
+
+            def epoch_body(params, opt_state, xs, ys, rng):
+                xb, yb = gather(xs, ys, rng)
+                p_leaves = treedef.flatten_up_to(params)
+                s_leaves = [
+                    leaf
+                    for name in slot_names
+                    for leaf in treedef.flatten_up_to(opt_state["slots"][name])
+                ]
+                t0 = opt_state["t"].astype(jnp.int32).reshape(1, 1)
+                new_p, new_s, new_t, losses = epoch_fn(
+                    p_leaves, s_leaves, t0, xb, yb)
+                new_params = jax.tree.unflatten(treedef, new_p)
+                new_slots = {
+                    name: jax.tree.unflatten(
+                        treedef, new_s[si * nl:(si + 1) * nl])
+                    for si, name in enumerate(slot_names)
+                }
+                return new_params, {"t": new_t.reshape(()),
+                                    "slots": new_slots}, losses
+
+            return epoch_body
+
+        step_fn = self._step_core()
+
+        def epoch_body(params, opt_state, xs, ys, rng):
+            xb, yb = gather(xs, ys, rng)
+
+            def body(carry, batch):
+                params, opt_state = carry
+                params, opt_state, loss = step_fn(
+                    params, opt_state, batch[0], batch[1])
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (xb, yb))
+            return params, opt_state, losses
+
+        return epoch_body
+
+    # ------------------------------------------- fused VMEM epoch (Pallas)
+
+    def _fused_ok(self):
+        from tinynn_autograd_tpu.ops import fused_epoch
+
+        if getattr(self, "_fused_broken", False):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        return fused_epoch.supports(
+            self.net, self._params, self.optimizer)
 
     def evaluate_batch(self, x, y, evaluator):
         """Jitted TEST-phase forward + argmax for classification eval."""

@@ -162,10 +162,11 @@ class Adam(BaseOptimizer):
     def _step_leaf(self, g, lr, t, slots):
         m = slots["m"] + (1.0 - self._b1) * (g - slots["m"])
         v = slots["v"] + (1.0 - self._b2) * (g * g - slots["v"])
+        # Mosaic-friendly forms (no powf): b**t = exp(t*ln b), x**0.5 = sqrt
         tf = t.astype(jnp.float32)
-        m_hat = m / (1.0 - self._b1 ** tf)
-        v_hat = v / (1.0 - self._b2 ** tf)
-        step = -lr * m_hat / (v_hat ** 0.5 + self._eps)
+        m_hat = m / (1.0 - jnp.exp(tf * jnp.log(self._b1)))
+        v_hat = v / (1.0 - jnp.exp(tf * jnp.log(self._b2)))
+        step = -lr * m_hat / (jnp.sqrt(v_hat) + self._eps)
         return step, {"m": m, "v": v}
 
 
@@ -185,7 +186,7 @@ class RMSProp(BaseOptimizer):
 
     def _step_leaf(self, g, lr, t, slots):
         ms = slots["ms"] + (1.0 - self._decay) * (g * g - slots["ms"])
-        mom = self._momentum * slots["mom"] + lr * g / (ms + self._eps) ** 0.5
+        mom = self._momentum * slots["mom"] + lr * g / jnp.sqrt(ms + self._eps)
         return -mom, {"ms": ms, "mom": mom}
 
 
@@ -201,7 +202,7 @@ class Adagrad(BaseOptimizer):
 
     def _step_leaf(self, g, lr, t, slots):
         G = slots["G"] + g * g
-        return -(lr / (G + self._eps) ** 0.5) * g, {"G": G}
+        return -(lr / jnp.sqrt(G + self._eps)) * g, {"G": G}
 
 
 class Adadelta(BaseOptimizer):
@@ -219,8 +220,8 @@ class Adadelta(BaseOptimizer):
 
     def _step_leaf(self, g, lr, t, slots):
         Eg = slots["Eg"] + (1.0 - self._decay) * (g * g - slots["Eg"])
-        std = (slots["d"] + self._eps) ** 0.5
-        delta = g * std / (Eg + self._eps) ** 0.5
+        std = jnp.sqrt(slots["d"] + self._eps)
+        delta = g * std / jnp.sqrt(Eg + self._eps)
         step = -lr * delta
         d = slots["d"] + (1.0 - self._decay) * (delta * delta - slots["d"])
         return step, {"Eg": Eg, "d": d}

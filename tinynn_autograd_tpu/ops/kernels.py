@@ -17,6 +17,8 @@ Everything else goes to ``jnp.matmul`` with an explicit fp32
 ``preferred_element_type`` so the MXU never silently accumulates in bf16.
 """
 
+import contextlib
+import contextvars
 import functools
 import os
 
@@ -24,6 +26,20 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Set while tracing code that already lives INSIDE a Pallas kernel (the
+# fused-epoch megakernel): primitives must then lower to plain Mosaic ops,
+# never to a nested pallas_call.
+_IN_KERNEL = contextvars.ContextVar("tinynn_in_kernel", default=False)
+
+
+@contextlib.contextmanager
+def kernel_mode():
+    tok = _IN_KERNEL.set(True)
+    try:
+        yield
+    finally:
+        _IN_KERNEL.reset(tok)
 
 # Flip to force-enable/disable the Pallas path (tests use interpret mode).
 _FORCE = os.environ.get("TINYNN_TPU_FORCE_PALLAS")
@@ -138,6 +154,9 @@ def pallas_matmul(a, b, interpret=False):
 def matmul(a, b):
     """Platform-dispatching matmul used by the ``dot_`` primitive and its
     VJPs. Semantics are numpy.matmul."""
+    if _IN_KERNEL.get():
+        # already inside a Pallas kernel: straight to the MXU
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
     if _use_pallas(a, b):
         return pallas_matmul(a, b)
     return jnp.matmul(a, b, preferred_element_type=_acc_type(a, b))
