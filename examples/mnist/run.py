@@ -75,6 +75,12 @@ def main(args):
     else:
         step = model.train_step
 
+    epoch_mode = args.dp <= 1 and not args.eager
+    if epoch_mode:
+        # TPU path: stage the dataset into HBM once; each epoch is ONE
+        # device dispatch (on-device shuffle + fused steps / megakernel)
+        x_dev, y_dev = model.stage(train_x, train_y_oh)
+
     iterator = BatchIterator(batch_size=args.batch_size,
                              drop_last=not args.eager)
     target_acc = args.target_acc
@@ -83,12 +89,18 @@ def main(args):
 
     for epoch in range(args.num_ep):
         t_epoch = time.time()
-        loss = None
-        n_steps = 0
-        for batch in iterator(train_x, train_y_oh):
-            loss = step(batch.inputs, batch.targets)
-            n_steps += 1
-        loss_val = float(loss.values if isinstance(loss, Tensor) else loss)
+        if epoch_mode:
+            losses = model.train_epoch(x_dev, y_dev,
+                                       batch_size=args.batch_size)
+            n_steps = int(losses.shape[0])
+            loss_val = float(np.asarray(losses)[-1])
+        else:
+            loss = None
+            n_steps = 0
+            for batch in iterator(train_x, train_y_oh):
+                loss = step(batch.inputs, batch.targets)
+                n_steps += 1
+            loss_val = float(loss.values if isinstance(loss, Tensor) else loss)
         epoch_s = time.time() - t_epoch
 
         model.set_phase("TEST")

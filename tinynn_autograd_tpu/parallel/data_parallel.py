@@ -120,6 +120,91 @@ class DataParallel:
         self.net.bind_params(self._params)
         return loss
 
+    def train_epoch(self, x_all, y_all, batch_size=128, shuffle=True):
+        """One full data-parallel epoch as ONE dispatch: each device locally
+        shuffles and scans the fused step over ITS shard of the dataset,
+        pmean-ing gradients over ICI every step. ``batch_size`` is the
+        GLOBAL batch. Returns the per-step global-mean loss trace."""
+        x_all = jnp.asarray(x_all.data if isinstance(x_all, Tensor) else x_all)
+        y_all = jnp.asarray(y_all.data if isinstance(y_all, Tensor) else y_all)
+        if x_all.shape[0] % self.n_devices or batch_size % self.n_devices:
+            raise ValueError(
+                "dataset size %d and global batch %d must divide by mesh "
+                "size %d" % (x_all.shape[0], batch_size, self.n_devices))
+        self._ensure_init((batch_size,) + x_all.shape[1:])
+
+        if self._params is None:
+            self._params = self.net.params_tree()
+        if self._opt_state is None:
+            self._opt_state = self.model.optimizer.init_state(self._params)
+        if self._base_key is None:
+            self._base_key = seeder.next_key()
+
+        local_n = x_all.shape[0] // self.n_devices
+        local_batch = batch_size // self.n_devices
+        n_steps = local_n // local_batch
+        key = ("dp_epoch", batch_size, bool(shuffle), x_all.shape[0])
+        if not hasattr(self, "_epoch_fns"):
+            self._epoch_fns = {}
+        if key not in self._epoch_fns:
+            net = self.net
+            loss_fn = self.model.loss
+            optimizer = self.model.optimizer
+            axis = self.axis_name
+            base_key = self._base_key
+
+            def local_epoch(params, opt_state, xs, ys, rng):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                if shuffle:
+                    perm = jax.random.permutation(rng, local_n)
+                    perm = perm[: n_steps * local_batch]
+                else:
+                    perm = jnp.arange(n_steps * local_batch)
+                xb = xs[perm].reshape(
+                    (n_steps, local_batch) + xs.shape[1:])
+                yb = ys[perm].reshape(
+                    (n_steps, local_batch) + ys.shape[1:])
+
+                def body(carry, batch):
+                    params, opt_state = carry
+                    net.bind_params(params)
+                    drop_rng = jax.random.fold_in(base_key, opt_state["t"])
+                    pred = net.forward(Tensor(batch[0]), rng=drop_rng)
+                    loss_t = loss_fn.loss(pred, Tensor(batch[1]))
+                    loss_t.backward()
+                    grads = net.collect_grads()
+                    grads = jax.tree.map(
+                        lambda g: jax.lax.pmean(g, axis_name=axis), grads)
+                    steps, new_opt = optimizer.update(grads, params, opt_state)
+                    new_params = jax.tree.map(
+                        lambda p, s: p + s, params, steps)
+                    loss_out = jax.lax.pmean(loss_t.data, axis_name=axis)
+                    return (new_params, new_opt), loss_out
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), (xb, yb))
+                return params, opt_state, losses
+
+            sharded = jax.shard_map(
+                local_epoch,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(self.axis_name), P(self.axis_name),
+                          P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+            self.net.set_phase("TRAIN")
+            self._epoch_fns[key] = jax.jit(sharded, donate_argnums=(0, 1))
+
+        sharding = NamedSharding(self.mesh, P(self.axis_name))
+        x_all = jax.device_put(x_all, sharding)
+        y_all = jax.device_put(y_all, sharding)
+        rng = seeder.next_key()
+        self._params, self._opt_state, losses = self._epoch_fns[key](
+            self._params, self._opt_state, x_all, y_all, rng)
+        self.net.bind_params(self._params)
+        return losses
+
     def predict(self, x):
         """Batch-sharded jitted inference over the mesh."""
         return self.model.predict(x)
