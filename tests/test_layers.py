@@ -113,11 +113,14 @@ def _naive_conv2d(x, w, stride, pads):
     return out
 
 
-@pytest.mark.parametrize("padding,stride", [("VALID", 1), ("SAME", 1), ("VALID", 2)])
-def test_conv2d_matches_naive(padding, stride):
+@pytest.mark.parametrize("impl", ["xla", "im2col"])
+@pytest.mark.parametrize("padding,stride", [("VALID", 1), ("SAME", 1),
+                                            ("VALID", 2), ("SAME", 2)])
+def test_conv2d_matches_naive(padding, stride, impl):
     rng = np.random.RandomState(0)
     x = rng.randn(2, 6, 5, 3).astype(np.float32)
-    layer = Conv2D(kernel=(3, 3, 3, 4), stride=stride, padding=padding)
+    layer = Conv2D(kernel=(3, 3, 3, 4), stride=stride, padding=padding,
+                   impl=impl)
     w = rng.randn(3, 3, 3, 4).astype(np.float32) * 0.1
     layer.params["w"] = Tensor(w, requires_grad=True)
     layer.params["b"] = Tensor(np.zeros((1, 4), np.float32), requires_grad=True)
@@ -128,10 +131,11 @@ def test_conv2d_matches_naive(padding, stride):
     np.testing.assert_allclose(out.numpy(), expected, rtol=1e-4, atol=1e-5)
 
 
-def test_conv2d_grads_finite_diff():
+@pytest.mark.parametrize("impl", ["xla", "im2col"])
+def test_conv2d_grads_finite_diff(impl):
     rng = np.random.RandomState(1)
     x0 = rng.randn(1, 4, 4, 2).astype(np.float32)
-    layer = Conv2D(kernel=(2, 2, 2, 3), stride=1, padding="VALID")
+    layer = Conv2D(kernel=(2, 2, 2, 3), stride=1, padding="VALID", impl=impl)
     w0 = (rng.randn(2, 2, 2, 3) * 0.5).astype(np.float32)
     layer.params["w"] = Tensor(w0, requires_grad=True)
     layer.params["b"] = Tensor(np.zeros((1, 3), np.float32), requires_grad=True)
@@ -163,6 +167,31 @@ def test_conv2d_grads_finite_diff():
         xm[idx] -= eps
         fd = (loss_at(w0, xp) - loss_at(w0, xm)) / (2 * eps)
         assert abs(float(x.grad[idx]) - fd) < 5e-2
+
+
+def test_conv2d_impls_grad_parity():
+    # the lax-conv VJPs must equal the compositional im2col VJPs, including
+    # strided SAME padding (the asymmetric-pad + remainder-crop cases)
+    rng = np.random.RandomState(4)
+    x0 = rng.randn(2, 7, 6, 3).astype(np.float32)
+    w0 = (rng.randn(3, 3, 3, 5) * 0.3).astype(np.float32)
+    grads = {}
+    for impl in ("xla", "im2col"):
+        layer = Conv2D(kernel=(3, 3, 3, 5), stride=2, padding="SAME",
+                       impl=impl)
+        layer.params["w"] = Tensor(w0, requires_grad=True)
+        layer.params["b"] = Tensor(np.zeros((1, 5), np.float32),
+                                   requires_grad=True)
+        x = Tensor(x0, requires_grad=True)
+        loss = (layer.forward(x) ** 2).sum()
+        loss.backward()
+        grads[impl] = (np.asarray(x.grad), np.asarray(layer.params["w"].grad),
+                       float(loss.values))
+    np.testing.assert_allclose(grads["xla"][2], grads["im2col"][2], rtol=1e-4)
+    np.testing.assert_allclose(grads["xla"][0], grads["im2col"][0],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(grads["xla"][1], grads["im2col"][1],
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_maxpool2d():

@@ -115,21 +115,30 @@ def _same_pad(size, k, s):
 class Conv2D(Layer):
     """2-D convolution over NHWC inputs via im2col + MXU matmul.
 
-    kernel: [KH, KW, C_in, C_out]; the forward gathers input patches with a
-    static index map (autograd ``getitem`` — its scatter-add VJP *is*
-    col2im) and contracts them against the flattened kernel with the same
-    matmul primitive as Dense, so both directions of the conv are MXU
-    matmuls (driver config #4: im2col matmul fwd/bwd). The reference has no
-    conv layer (only its support ops: pad_, conv-aware get_fans).
+    kernel: [KH, KW, C_in, C_out]; im2col is built from KH*KW STRIDED BASIC
+    SLICES of the (padded) input concatenated along a new patch axis — on
+    TPU this lowers to cheap windowed copies, and each slice's autograd VJP
+    is a slice-add (so the backward col2im is pad-and-add rather than a
+    general scatter). The patch matrix then contracts against the flattened
+    kernel with the same matmul primitive as Dense, putting both conv
+    directions on the MXU (driver config #4: im2col matmul fwd/bwd). The
+    reference has no conv layer (only its support ops: pad_, conv-aware
+    get_fans).
     """
 
     def __init__(self, kernel, stride=1, padding="SAME",
-                 w_init=None, b_init=None):
-        """kernel: (KH, KW, C_in, C_out) — C_in may be None for lazy init."""
+                 w_init=None, b_init=None, impl="xla"):
+        """kernel: (KH, KW, C_in, C_out) — C_in may be None for lazy init.
+
+        impl: "xla" (default) runs the conv2d_ primitive whose fwd and both
+        hand VJPs are single lax conv calls on the MXU; "im2col" composes
+        the conv from strided-slice patches + the Pallas matmul (useful as
+        a cross-check and where native convs are unavailable)."""
         super().__init__("Conv2D")
         self.kernel_shape = list(kernel)
         self.stride = _pair(stride)
         self.padding = padding
+        self.impl = impl
         self.initializers = {
             "w": w_init if w_init is not None else XavierUniformInit(),
             "b": b_init if b_init is not None else ZerosInit(),
@@ -173,43 +182,49 @@ class Conv2D(Layer):
         ph, pw = _pair(self.padding)
         return (ph, ph), (pw, pw)
 
-    def _patch_indices(self, h, w):
-        """Static (rows, cols) index arrays of shape [OH, OW, KH, KW]."""
-        key = (h, w)
-        if key not in self._idx_cache:
-            kh, kw, _, _ = self.kernel_shape
-            sh, sw = self.stride
-            (plo_h, phi_h), (plo_w, phi_w) = self._pads(h, w)
-            oh = _conv_out_size(h, kh, sh, plo_h, phi_h)
-            ow = _conv_out_size(w, kw, sw, plo_w, phi_w)
-            r = (np.arange(oh)[:, None] * sh + np.arange(kh)[None, :])
-            c = (np.arange(ow)[:, None] * sw + np.arange(kw)[None, :])
-            rows = np.broadcast_to(r[:, None, :, None], (oh, ow, kh, kw))
-            cols = np.broadcast_to(c[None, :, None, :], (oh, ow, kh, kw))
-            self._idx_cache[key] = (
-                rows, cols, (plo_h, phi_h), (plo_w, phi_w), oh, ow)
-        return self._idx_cache[key]
-
     def forward(self, inputs):
         n, h, w, c = inputs.shape
         if not self._is_init:
             self._init_parameters(c)
         kh, kw, c_in, c_out = self.kernel_shape
-        rows, cols, pad_h, pad_w, oh, ow = self._patch_indices(h, w)
+        sh, sw = self.stride
+        pad_h, pad_w = self._pads(h, w)
+        oh = _conv_out_size(h, kh, sh, *pad_h)
+        ow = _conv_out_size(w, kw, sw, *pad_w)
+
+        if self.impl == "xla":
+            out = ops.conv2d_(inputs, self.params["w"],
+                              self.stride, (pad_h, pad_w))
+            return out + self.params["b"].reshape((1, 1, 1, c_out))
 
         x = inputs
         if pad_h != (0, 0) or pad_w != (0, 0):
             x = ops.pad(x, [(0, 0), pad_h, pad_w, (0, 0)])
-        # [N, OH, OW, KH, KW, C] gather; VJP = scatter-add (col2im)
-        patches = x[:, rows, cols, :]
+        patches = _window_patches(x, n, oh, ow, kh, kw, sh, sw)
         cols_mat = patches.reshape((n * oh * ow, kh * kw * c_in))
         w_mat = self.params["w"].reshape((kh * kw * c_in, c_out))
         out = cols_mat @ w_mat + self.params["b"]
         return out.reshape((n, oh, ow, c_out))
 
 
+def _window_patches(x, n, oh, ow, kh, kw, sh, sw):
+    """im2col as KH*KW strided slices concatenated on a new patch axis:
+    [N, Hp, Wp, C] -> [N, OH, OW, KH*KW, C], patch index = kh*KW + kw
+    (matching kernel.reshape(KH*KW*C, F) flattening)."""
+    c = x.shape[-1]
+    slices = []
+    for i in range(kh):
+        for j in range(kw):
+            sl = x[:, i:i + sh * (oh - 1) + 1:sh, j:j + sw * (ow - 1) + 1:sw, :]
+            slices.append(sl.reshape((n, oh, ow, 1, c)))
+    if len(slices) == 1:
+        return slices[0]
+    return ops.concat(slices, axis=3)
+
+
 class MaxPool2D(Layer):
-    """Max pooling over NHWC via the same static patch-gather + reduce-max.
+    """Max pooling over NHWC via the same strided-slice patch stack +
+    reduce-max over the patch axis.
 
     Tie semantics follow the framework's reduce-max (every maximal element
     receives the full gradient), matching the reference's reduce-max VJP
@@ -220,41 +235,35 @@ class MaxPool2D(Layer):
         self.pool_size = _pair(pool_size)
         self.stride = _pair(stride) if stride is not None else self.pool_size
         self.padding = padding
-        self._idx_cache = {}
+
+    def _geometry(self, h, w):
+        kh, kw = self.pool_size
+        sh, sw = self.stride
+        if self.padding == "SAME":
+            pad_h, pad_w = _same_pad(h, kh, sh), _same_pad(w, kw, sw)
+        else:
+            pad_h, pad_w = (0, 0), (0, 0)
+        oh = _conv_out_size(h, kh, sh, *pad_h)
+        ow = _conv_out_size(w, kw, sw, *pad_w)
+        return pad_h, pad_w, oh, ow
 
     def init_params(self, input_shape):
         n, h, w, c = input_shape
-        *_ignored, oh, ow = self._indices(h, w)
+        _, _, oh, ow = self._geometry(h, w)
         return (n, oh, ow, c)
-
-    def _indices(self, h, w):
-        key = (h, w)
-        if key not in self._idx_cache:
-            kh, kw = self.pool_size
-            sh, sw = self.stride
-            if self.padding == "SAME":
-                pad_h, pad_w = _same_pad(h, kh, sh), _same_pad(w, kw, sw)
-            else:
-                pad_h, pad_w = (0, 0), (0, 0)
-            oh = _conv_out_size(h, kh, sh, *pad_h)
-            ow = _conv_out_size(w, kw, sw, *pad_w)
-            r = np.arange(oh)[:, None] * sh + np.arange(kh)[None, :]
-            c = np.arange(ow)[:, None] * sw + np.arange(kw)[None, :]
-            rows = np.broadcast_to(r[:, None, :, None], (oh, ow, kh, kw))
-            cols = np.broadcast_to(c[None, :, None, :], (oh, ow, kh, kw))
-            self._idx_cache[key] = (rows, cols, pad_h, pad_w, oh, ow)
-        return self._idx_cache[key]
 
     def forward(self, inputs):
         n, h, w, c = inputs.shape
-        rows, cols, pad_h, pad_w, oh, ow = self._indices(h, w)
+        kh, kw = self.pool_size
+        sh, sw = self.stride
+        pad_h, pad_w, oh, ow = self._geometry(h, w)
         x = inputs
         if pad_h != (0, 0) or pad_w != (0, 0):
             # pad with -inf so padding never wins the max
             x = ops.pad(x, [(0, 0), pad_h, pad_w, (0, 0)],
                         constant_values=-np.inf)
-        patches = x[:, rows, cols, :]  # [N, OH, OW, KH, KW, C]
-        return ops.max_(patches, axis=(3, 4))
+        patches = _window_patches(x, n, oh, ow, kh, kw, sh, sw)
+        return ops.max_(patches, axis=3)
 
 
 class Flatten(Layer):

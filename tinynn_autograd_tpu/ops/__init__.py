@@ -10,6 +10,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     build_unary_ops_tensor,
     clip_,
     concat_,
+    conv2d_,
     div_,
     dot_,
     dropout_,

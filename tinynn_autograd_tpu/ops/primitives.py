@@ -607,6 +607,63 @@ def concat_(tensors, axis=0):
     return tensors[0].__class__(values, requires_grad, dependency)
 
 
+def conv2d_(ts_x, ts_w, stride, padding):
+    """2-D convolution primitive, NHWC x HWIO -> NHWC.
+
+    Forward and BOTH hand-written VJPs are single ``lax.conv_general_dilated``
+    calls (XLA lowers each straight onto the MXU):
+
+    - dX: transposed conv — grad (lhs-dilated by the stride) convolved with
+      the spatially-flipped, io-swapped kernel.
+    - dW: batch-contraction conv — input (channels as batch) convolved with
+      the grad (stride becomes rhs dilation).
+
+    ``stride``: (sh, sw); ``padding``: ((plo_h, phi_h), (plo_w, phi_w)).
+    No jax.grad anywhere — this is our tape's edge, like every primitive.
+    """
+    sh, sw = stride
+    (plh, phh), (plw, phw) = padding
+    x, w = ts_x.data, ts_w.data
+    n, h, wd, c_in = x.shape
+    kh, kw, _, c_out = w.shape
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    values = jax.lax.conv_general_dilated(
+        x, w, window_strides=(sh, sw), padding=[(plh, phh), (plw, phw)],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+    def grad_fn_x(grad):
+        # output size remainder: rows/cols of x never touched by any window
+        rh = (h + plh + phh - kh) % sh
+        rw = (wd + plw + phw - kw) % sw
+        w_flip = jnp.flip(w, (0, 1)).swapaxes(2, 3)  # (KH, KW, Co, Ci)
+        return jax.lax.conv_general_dilated(
+            grad, w_flip, window_strides=(1, 1),
+            padding=[(kh - 1 - plh, kh - 1 - phh + rh),
+                     (kw - 1 - plw, kw - 1 - phw + rw)],
+            lhs_dilation=(sh, sw), dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+
+    def grad_fn_w(grad):
+        # crop the stride remainder off the high side so the result is
+        # exactly (KH, KW): rows past the last window never contribute
+        rh = (h + plh + phh - kh) % sh
+        rw = (wd + plw + phw - kw) % sw
+        lhs = x.transpose(3, 1, 2, 0)        # (Ci, H, W, N)
+        rhs = grad.transpose(1, 2, 0, 3)     # (OH, OW, N, Co)
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1, 1),
+            padding=[(plh, phh - rh), (plw, phw - rw)],
+            rhs_dilation=(sh, sw), dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )                                     # (Ci, KH, KW, Co)
+        return out.transpose(1, 2, 0, 3).astype(w.dtype)
+
+    return build_binary_ops_tensor(ts_x, ts_w, grad_fn_x, grad_fn_w, values)
+
+
 def where_(cond, ts1, ts2):
     """Elementwise select; gradient flows to the selected branch only."""
     ts1, ts2 = as_tensor(ts1), as_tensor(ts2)
