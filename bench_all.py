@@ -25,13 +25,16 @@ BASELINE = 45.9  # reference MNIST MLP steps/s (BASELINE.md)
 
 
 def _time_epochs(model, x_dev, y_dev, batch, n_epochs, steps_per_epoch):
-    losses = model.train_epoch(x_dev, y_dev, batch_size=batch)
-    losses = model.train_epoch(x_dev, y_dev, batch_size=batch)
-    float(np.asarray(losses)[-1])
+    # one dispatch for the whole measured run; warmup compiles the SAME
+    # program; closed by a host readback (block_until_ready can't be
+    # trusted on tunneled platforms)
+    losses = model.train_epochs(x_dev, y_dev, n_epochs=n_epochs,
+                                batch_size=batch)
+    float(np.asarray(losses)[-1, -1])
     start = time.perf_counter()
-    for _ in range(n_epochs):
-        losses = model.train_epoch(x_dev, y_dev, batch_size=batch)
-    float(np.asarray(losses)[-1])
+    losses = model.train_epochs(x_dev, y_dev, n_epochs=n_epochs,
+                                batch_size=batch)
+    float(np.asarray(losses)[-1, -1])
     return n_epochs * steps_per_epoch / (time.perf_counter() - start)
 
 
@@ -87,10 +90,11 @@ def main():
     m = Model(build_mnist_cnn(), SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     cx = tx[:2560].reshape(-1, 28, 28, 1)
     cx_dev, cy_dev = m.stage(cx, ty_oh[:2560])
-    sps = _time_epochs(m, cx_dev, cy_dev, batch, 5, len(cx) // batch)
+    sps = _time_epochs(m, cx_dev, cy_dev, batch, 20, len(cx) // batch)
     emit("mnist_cnn_train_steps_per_sec", sps, "steps/s")
 
-    # 5. data parallel over whatever mesh this host offers
+    # 5. data parallel over whatever mesh this host offers (one-dispatch
+    # epochs with per-step gradient psum)
     import jax
 
     from tinynn_autograd_tpu.parallel import DataParallel, make_mesh
@@ -99,17 +103,19 @@ def main():
     random_seed(0)
     m = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     dp = DataParallel(m, mesh=make_mesh(n_dev))
-    gx, gy = tx[:1024], ty_oh[:1024]
-    dp.train_step(gx, gy)
-    loss = dp.train_step(gx, gy)
-    float(loss)
-    n = 50
+    gx, gy = tx[:12800], ty_oh[:12800]
+    n_ep = 10
+    losses = None
+    for _ in range(2):  # warmup compile + steady
+        losses = dp.train_epoch(gx, gy, batch_size=1024)
+    float(np.asarray(losses)[-1])
+    steps_per_ep = 12800 // 1024
     start = time.perf_counter()
-    for _ in range(n):
-        loss = dp.train_step(gx, gy)
-    float(loss)
+    for _ in range(n_ep):
+        losses = dp.train_epoch(gx, gy, batch_size=1024)
+    float(np.asarray(losses)[-1])
     emit("dp_%ddev_global_batch1024_steps_per_sec" % n_dev,
-         n / (time.perf_counter() - start), "steps/s")
+         n_ep * steps_per_ep / (time.perf_counter() - start), "steps/s")
 
 
 if __name__ == "__main__":

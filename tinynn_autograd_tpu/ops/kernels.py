@@ -41,6 +41,33 @@ def kernel_mode():
     finally:
         _IN_KERNEL.reset(tok)
 
+
+# Matmul input precision: "f32" (default, exact reference parity) or "bf16"
+# (cast operands to bfloat16 for the MXU's fast path, accumulate in fp32 —
+# the standard TPU mixed-precision recipe). Settable via env
+# TINYNN_TPU_MATMUL_PRECISION or set_matmul_precision().
+_MATMUL_PRECISION = os.environ.get("TINYNN_TPU_MATMUL_PRECISION", "f32")
+
+
+def set_matmul_precision(mode):
+    """mode: "f32" | "bf16". Affects newly traced programs."""
+    global _MATMUL_PRECISION
+    if mode not in ("f32", "bf16"):
+        raise ValueError(mode)
+    _MATMUL_PRECISION = mode
+
+
+def matmul_precision():
+    return _MATMUL_PRECISION
+
+
+def _cast_inputs(a, b):
+    if (_MATMUL_PRECISION == "bf16"
+            and jnp.issubdtype(a.dtype, jnp.floating)
+            and jnp.issubdtype(b.dtype, jnp.floating)):
+        return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), jnp.float32
+    return a, b, None
+
 # Flip to force-enable/disable the Pallas path (tests use interpret mode).
 _FORCE = os.environ.get("TINYNN_TPU_FORCE_PALLAS")
 _DISABLE = os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
@@ -153,13 +180,16 @@ def pallas_matmul(a, b, interpret=False):
 
 def matmul(a, b):
     """Platform-dispatching matmul used by the ``dot_`` primitive and its
-    VJPs. Semantics are numpy.matmul."""
+    VJPs. Semantics are numpy.matmul (fp32 accumulation always)."""
+    a, b, forced_out = _cast_inputs(a, b)
     if _IN_KERNEL.get():
         # already inside a Pallas kernel: straight to the MXU
         return jnp.matmul(a, b, preferred_element_type=jnp.float32)
     if _use_pallas(a, b):
-        return pallas_matmul(a, b)
-    return jnp.matmul(a, b, preferred_element_type=_acc_type(a, b))
+        out = pallas_matmul(a, b)
+        return out.astype(forced_out) if forced_out is not None else out
+    out_t = forced_out if forced_out is not None else _acc_type(a, b)
+    return jnp.matmul(a, b, preferred_element_type=out_t)
 
 
 def _acc_type(a, b):
