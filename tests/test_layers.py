@@ -169,6 +169,18 @@ def test_conv2d_grads_finite_diff(impl):
         assert abs(float(x.grad[idx]) - fd) < 5e-2
 
 
+def test_conv2d_init_uses_correct_fans():
+    # Xavier bound for an HWIO conv kernel must use fan_in = KH*KW*C_in,
+    # fan_out = C_out (the raw 4-D HWIO shape would compute nonsense fans)
+    random_seed(3)
+    layer = Conv2D(kernel=(3, 3, 8, 16), stride=1, padding="SAME")
+    w = layer.params["w"].numpy()
+    bound = np.sqrt(6.0 / (3 * 3 * 8 + 16))
+    assert np.abs(w).max() <= bound + 1e-6
+    # and it actually fills most of the range (not over-shrunk)
+    assert np.abs(w).max() > bound * 0.9
+
+
 def test_conv2d_impls_grad_parity():
     # the lax-conv VJPs must equal the compositional im2col VJPs, including
     # strided SAME padding (the asymmetric-pad + remainder-crop cases)

@@ -121,6 +121,23 @@ def test_grad_parity_fused_vs_eager():
     np.testing.assert_allclose(fused_grad, eager_grad, rtol=1e-5, atol=1e-6)
 
 
+def test_eager_then_fused_keeps_optimizer_state():
+    # interleaving the reference-style eager loop with the fused step must
+    # not silently reset the optimizer moments / step counter
+    x, y, _ = _toy_data(n=16)
+    model = _toy_model(opt=Adam(lr=1e-2))
+    for _ in range(3):
+        model.zero_grad()
+        loss = model.loss.loss(model.forward(Tensor(x)), Tensor(y))
+        loss.backward()
+        model.step()
+    assert int(model.optimizer.state_dict()["t"]) == 3
+    model.train_step(x, y)
+    assert int(model._opt_state["t"]) == 4
+    # and fused state flows back to the eager facade
+    assert int(model.optimizer.state_dict()["t"]) == 4
+
+
 def test_predict_and_phase():
     x, y, _ = _toy_data(n=8)
     model = _toy_model()

@@ -156,9 +156,18 @@ class Conv2D(Layer):
         return self._is_init
 
     def _init_parameters(self, c_in):
+        from tinynn_autograd_tpu.core.tensor import Tensor
+
         self.kernel_shape[2] = int(c_in)
+        kh, kw, _, c_out = self.kernel_shape
         self.shapes["w"] = self.kernel_shape
-        self.params["w"] = self.initializers["w"](self.kernel_shape)
+        # draw with the fan-correct 2-D shape (fan_in = KH*KW*C_in,
+        # fan_out = C_out) and reshape to HWIO — get_fans can't infer fans
+        # from an HWIO 4-D shape, and the draw is iid so reshaping
+        # preserves the distribution
+        flat = self.initializers["w"]((kh * kw * c_in, c_out))
+        self.params["w"] = Tensor(
+            flat.data.reshape(kh, kw, c_in, c_out), requires_grad=True)
         self.params["b"] = self.initializers["b"](self.shapes["b"])
         self._is_init = True
 

@@ -84,19 +84,27 @@ class Model:
     def _params(self, v):
         self._params_cache = v
 
+    def _prepare_state(self):
+        """Materialize the fused-path state, staying coherent with the eager
+        optimizer facade: adopt its state if it already stepped, and every
+        fused update is pushed back via load_state_dict, so eager and fused
+        training can interleave without silently resetting moments."""
+        if self._params is None:
+            self._params = self.net.params_tree()
+        if self._opt_state is None:
+            existing = self.optimizer.state_dict()
+            self._opt_state = (existing if existing is not None
+                               else self.optimizer.init_state(self._params))
+        if self._base_key is None:
+            self._base_key = seeder.next_key()
+
     def train_step(self, x, y):
         """One fused optimization step; returns the loss as a device scalar
         (no host sync — wrap in float() to block)."""
         x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
         y = jnp.asarray(y.data if isinstance(y, Tensor) else y)
         self._ensure_init(x.shape)
-
-        if self._params is None:
-            self._params = self.net.params_tree()
-        if self._opt_state is None:
-            self._opt_state = self.optimizer.init_state(self._params)
-        if self._base_key is None:
-            self._base_key = seeder.next_key()
+        self._prepare_state()
 
         if self._phase != "TRAIN":
             self.set_phase("TRAIN")
@@ -110,6 +118,7 @@ class Model:
         self._params, self._opt_state, loss = self._jitted[key](
             self._params, self._opt_state, x, y
         )
+        self.optimizer.load_state_dict(self._opt_state)
         self._rebind_concrete()
         return loss
 
@@ -166,13 +175,7 @@ class Model:
         x_all = jnp.asarray(x_all.data if isinstance(x_all, Tensor) else x_all)
         y_all = jnp.asarray(y_all.data if isinstance(y_all, Tensor) else y_all)
         self._ensure_init((batch_size,) + x_all.shape[1:])
-
-        if self._params is None:
-            self._params = self.net.params_tree()
-        if self._opt_state is None:
-            self._opt_state = self.optimizer.init_state(self._params)
-        if self._base_key is None:
-            self._base_key = seeder.next_key()
+        self._prepare_state()
         if self._phase != "TRAIN":
             self.set_phase("TRAIN")
 
@@ -190,13 +193,7 @@ class Model:
         x_all = jnp.asarray(x_all.data if isinstance(x_all, Tensor) else x_all)
         y_all = jnp.asarray(y_all.data if isinstance(y_all, Tensor) else y_all)
         self._ensure_init((batch_size,) + x_all.shape[1:])
-
-        if self._params is None:
-            self._params = self.net.params_tree()
-        if self._opt_state is None:
-            self._opt_state = self.optimizer.init_state(self._params)
-        if self._base_key is None:
-            self._base_key = seeder.next_key()
+        self._prepare_state()
         if self._phase != "TRAIN":
             self.set_phase("TRAIN")
 
@@ -234,6 +231,7 @@ class Model:
                 rng = seeder.next_key()
                 self._params, self._opt_state, losses = self._jitted[key](
                     self._params, self._opt_state, x_all, y_all, rng)
+                self.optimizer.load_state_dict(self._opt_state)
                 self._rebind_concrete()
                 return losses
             except Exception:
