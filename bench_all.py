@@ -103,7 +103,7 @@ def main():
     random_seed(0)
     m = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     dp = DataParallel(m, mesh=make_mesh(n_dev))
-    gx, gy = tx[:12800], ty_oh[:12800]
+    gx, gy = dp.stage(tx[:12800], ty_oh[:12800])
     n_ep = 10
     losses = None
     for _ in range(2):  # warmup compile + steady

@@ -172,13 +172,6 @@ class Model:
 
         Returns the per-step loss trace as a device array [n_steps].
         """
-        x_all = jnp.asarray(x_all.data if isinstance(x_all, Tensor) else x_all)
-        y_all = jnp.asarray(y_all.data if isinstance(y_all, Tensor) else y_all)
-        self._ensure_init((batch_size,) + x_all.shape[1:])
-        self._prepare_state()
-        if self._phase != "TRAIN":
-            self.set_phase("TRAIN")
-
         return self.train_epochs(x_all, y_all, n_epochs=1,
                                  batch_size=batch_size, shuffle=shuffle,
                                  fused=fused)[0]

@@ -50,6 +50,26 @@ class DataParallel:
     def net(self):
         return self.model.net
 
+    def _batch_sharding(self):
+        return NamedSharding(self.mesh, P(self.axis_name))
+
+    def stage(self, x, y=None):
+        """Shard data across the mesh's HBM once (leading dim split over the
+        data axis); feed the result to train_epoch/train_step so epochs run
+        without re-uploading the dataset."""
+        sharding = self._batch_sharding()
+        x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
+        if y is None:
+            return jax.device_put(x, sharding)
+        y = jnp.asarray(y.data if isinstance(y, Tensor) else y)
+        return jax.device_put(x, sharding), jax.device_put(y, sharding)
+
+    def _place(self, arr):
+        sharding = self._batch_sharding()
+        if isinstance(arr, jax.Array) and arr.sharding == sharding:
+            return arr
+        return jax.device_put(arr, sharding)
+
     def _ensure_init(self, input_shape):
         if not self.net.is_init:
             self.net.init(input_shape)
@@ -113,8 +133,8 @@ class DataParallel:
             # each shard directly on its device
             self._x_sharding = NamedSharding(self.mesh, P(self.axis_name))
 
-        x = jax.device_put(x, self._x_sharding)
-        y = jax.device_put(y, self._x_sharding)
+        x = self._place(x)
+        y = self._place(y)
         self._params, self._opt_state, loss = self._step_fn(
             self._params, self._opt_state, x, y)
         self.net.bind_params(self._params)
@@ -196,9 +216,8 @@ class DataParallel:
             self.net.set_phase("TRAIN")
             self._epoch_fns[key] = jax.jit(sharded, donate_argnums=(0, 1))
 
-        sharding = NamedSharding(self.mesh, P(self.axis_name))
-        x_all = jax.device_put(x_all, sharding)
-        y_all = jax.device_put(y_all, sharding)
+        x_all = self._place(x_all)
+        y_all = self._place(y_all)
         rng = seeder.next_key()
         self._params, self._opt_state, losses = self._epoch_fns[key](
             self._params, self._opt_state, x_all, y_all, rng)
