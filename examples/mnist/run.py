@@ -87,7 +87,13 @@ def main(args):
     t_start = time.time()
     reached_at = None
 
+    profile_cm = None
     for epoch in range(args.num_ep):
+        if args.profile and epoch == 1:  # skip the compile epoch
+            from tinynn_autograd_tpu.utils import profiler
+
+            profile_cm = profiler.trace(args.profile)
+            profile_cm.__enter__()
         t_epoch = time.time()
         if epoch_mode:
             losses = model.train_epoch(x_dev, y_dev,
@@ -115,8 +121,16 @@ def main(args):
             reached_at = time.time() - t_start
             print("Reached %.3f test accuracy in %.2fs" % (target_acc, reached_at))
 
+        if profile_cm is not None and epoch == 1:
+            profile_cm.__exit__(None, None, None)
+            profile_cm = None
+            print("Profiler trace written to %s" % args.profile)
+
     if args.ckpt:
         model.save(args.ckpt)
+    if args.export:
+        model.export_stablehlo(args.export, test_x[: args.batch_size])
+        print("Exported StableHLO inference fn to %s" % args.export)
 
 
 if __name__ == "__main__":
@@ -133,4 +147,8 @@ if __name__ == "__main__":
                         help="data-parallel over N mesh devices")
     parser.add_argument("--target_acc", default=0.975, type=float)
     parser.add_argument("--ckpt", default="", type=str)
+    parser.add_argument("--profile", default="", type=str,
+                        help="write a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--export", default="", type=str,
+                        help="serialize the trained forward as StableHLO")
     main(parser.parse_args())

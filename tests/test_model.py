@@ -179,6 +179,21 @@ def test_load_shape_mismatch_raises(tmp_path):
         other.load(path)
 
 
+def test_export_stablehlo_roundtrip(tmp_path):
+    from jax import export as jax_export
+
+    x, y, _ = _toy_data(n=4)
+    model = _toy_model()
+    model.train_step(x, y)
+    path = os.path.join(tmp_path, "model.shlo")
+    model.export_stablehlo(path, x)
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    np.testing.assert_allclose(
+        np.asarray(exported.call(x)), model.predict(x).numpy(),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_net_set_parameters_checked():
     net = Net([Dense(4, num_in=3)])
     good = [{"w": np.zeros((3, 4), np.float32), "b": np.zeros((1, 4), np.float32)}]

@@ -313,6 +313,31 @@ class Model:
         return fused_epoch.supports(
             self.net, self._params, self.optimizer)
 
+    def export_stablehlo(self, path, example_input):
+        """Serving path: serialize the jitted inference forward (params baked
+        in) as portable StableHLO via jax.export — loadable in any
+        jax.export-compatible runtime without this framework."""
+        from jax import export as jax_export
+
+        example_input = jnp.asarray(
+            example_input.data if isinstance(example_input, Tensor)
+            else example_input)
+        self._ensure_init(example_input.shape)
+        tree = self._params if self._params is not None else self.net.params_tree()
+        net = self.net
+
+        def fwd(x):
+            net.bind_params(tree)
+            return net.forward(Tensor(x)).data
+
+        exported = jax_export.export(jax.jit(fwd))(
+            jax.ShapeDtypeStruct(example_input.shape, example_input.dtype))
+        data = exported.serialize()
+        with open(path, "wb") as f:
+            f.write(data)
+        self.net.bind_params(tree)  # clear tracer-backed params
+        return path
+
     def evaluate_batch(self, x, y, evaluator):
         """Jitted TEST-phase forward + argmax for classification eval."""
         preds = self.predict(x)
