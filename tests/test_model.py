@@ -121,6 +121,20 @@ def test_grad_parity_fused_vs_eager():
     np.testing.assert_allclose(fused_grad, eager_grad, rtol=1e-5, atol=1e-6)
 
 
+def test_fused_then_eager_then_fused_state_coherent():
+    # fused -> eager -> fused: the second fused call must adopt the state
+    # the eager step just advanced, not a stale cached copy
+    x, y, _ = _toy_data(n=16)
+    model = _toy_model(opt=Adam(lr=1e-2))
+    model.train_step(x, y)                      # t=1
+    model.zero_grad()
+    loss = model.loss.loss(model.forward(Tensor(x)), Tensor(y))
+    loss.backward()
+    model.step()                                # t=2 (facade)
+    model.train_step(x, y)                      # must continue at t=3
+    assert int(model._opt_state["t"]) == 3
+
+
 def test_eager_then_fused_keeps_optimizer_state():
     # interleaving the reference-style eager loop with the fused step must
     # not silently reset the optimizer moments / step counter

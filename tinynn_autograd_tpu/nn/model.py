@@ -339,8 +339,14 @@ class Model:
         return path
 
     def evaluate_batch(self, x, y, evaluator):
-        """Jitted TEST-phase forward + argmax for classification eval."""
+        """Jitted TEST-phase forward + argmax for classification eval;
+        restores the prior phase."""
+        prev = self._phase
+        if prev != "TEST":
+            self.set_phase("TEST")
         preds = self.predict(x)
+        if prev != "TEST":
+            self.set_phase(prev)
         pred_idx = np.argmax(preds.numpy(), axis=1)
         targets = y.numpy() if isinstance(y, Tensor) else np.asarray(y)
         return evaluator.evaluate(pred_idx, targets)
@@ -367,8 +373,11 @@ class Model:
                     p.zero_grad()
 
     def _invalidate_fused(self):
-        """Eager mutation makes the cached fused-step params stale."""
+        """Eager mutation makes the cached fused-path params and optimizer
+        state stale; drop both so the next fused call re-adopts the layers'
+        live params and the facade's (just-advanced) optimizer state."""
         self._params = None
+        self._opt_state = None
 
     # ----------------------------------------------------------- checkpoint
 
