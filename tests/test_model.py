@@ -162,6 +162,18 @@ def test_predict_and_phase():
     model.set_phase("TRAIN")
 
 
+def test_fit_high_level_loop():
+    x, y, y_idx = _toy_data(n=64)
+    model = _toy_model()
+    hist = model.fit(x, y, epochs=5, batch_size=16,
+                     eval_data=(x, y_idx), evaluator=AccEvaluator,
+                     eval_every=5, verbose=False)
+    assert len(hist["loss"]) == 5
+    assert hist["loss"][-1] < hist["loss"][0]
+    assert len(hist["eval"]) == 1
+    assert 0.0 <= hist["eval"][0]["accuracy"] <= 1.0
+
+
 def test_save_load_roundtrip(tmp_path):
     x, y, _ = _toy_data(n=8)
     model = _toy_model()

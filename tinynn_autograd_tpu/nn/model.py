@@ -313,6 +313,29 @@ class Model:
         return fused_epoch.supports(
             self.net, self._params, self.optimizer)
 
+    def fit(self, x, y, epochs=1, batch_size=128, shuffle=True,
+            eval_data=None, evaluator=None, eval_every=1, verbose=True):
+        """High-level training loop: stages the data once, runs epochs via
+        the fused one-dispatch path, optionally evaluating every
+        ``eval_every`` epochs. Returns the history dict."""
+        x_dev, y_dev = self.stage(x, y)
+        history = {"loss": [], "eval": []}
+        for epoch in range(epochs):
+            losses = self.train_epoch(x_dev, y_dev, batch_size=batch_size,
+                                      shuffle=shuffle)
+            loss = float(np.asarray(losses)[-1])
+            history["loss"].append(loss)
+            line = "epoch %d  loss %.4f" % (epoch, loss)
+            if (eval_data is not None and evaluator is not None
+                    and (epoch + 1) % eval_every == 0):
+                res = self.evaluate_batch(eval_data[0], eval_data[1],
+                                          evaluator)
+                history["eval"].append(res)
+                line += "  %s" % res
+            if verbose:
+                print(line)
+        return history
+
     def export_stablehlo(self, path, example_input):
         """Serving path: serialize the jitted inference forward (params baked
         in) as portable StableHLO via jax.export — loadable in any
