@@ -112,6 +112,12 @@ class Tensor:
         """Materialize to host numpy (blocks on the device value)."""
         return np.asarray(self._values)
 
+    def __array__(self, dtype=None):
+        """numpy protocol: np.argmax(tensor), np.asarray(tensor), ... work
+        directly (the reference relies on numpy's sequence fallback for
+        this, reference: examples/mnist/run.py:89)."""
+        return np.asarray(self._values, dtype)
+
     def item(self):
         return self._values.item()
 
