@@ -71,13 +71,24 @@ def test_fused_epoch_then_scan_interop():
 
 
 def test_supports_gating():
-    from tinynn_autograd_tpu.nn.layers import Dropout
+    from tinynn_autograd_tpu.nn.layers import Conv2D, Dropout
     from tinynn_autograd_tpu.ops import fused_epoch
 
     net = Net([Dense(4, num_in=8), Sigmoid()])
     net.init((16, 8))
     assert fused_epoch.supports(net, net.params_tree(), Adam())
 
+    # dropout is supported (TPU core PRNG inside the kernel)
     net2 = Net([Dense(4, num_in=8), Dropout(0.5)])
     net2.init((16, 8))
-    assert not fused_epoch.supports(net2, net2.params_tree(), Adam())
+    assert fused_epoch.supports(net2, net2.params_tree(), Adam())
+
+    # convs are not (lax conv can't lower inside a Pallas kernel)
+    net3 = Net([Conv2D(kernel=(3, 3, 1, 4))])
+    net3.init((4, 8, 8, 1))
+    assert not fused_epoch.supports(net3, net3.params_tree(), Adam())
+
+    # oversized params fall back too
+    net4 = Net([Dense(4096, num_in=4096)])
+    net4.init((16, 4096))
+    assert not fused_epoch.supports(net4, net4.params_tree(), Adam())

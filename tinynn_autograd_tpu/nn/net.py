@@ -26,9 +26,16 @@ class Net:
         if rng is not None:
             rng_layers = [l for l in self.layers if hasattr(l, "set_rng")]
             if rng_layers:
-                keys = jax.random.split(rng, len(rng_layers))
-                for layer, key in zip(rng_layers, keys):
-                    layer.set_rng(key)
+                if isinstance(rng, tuple) and rng[0] == "pltpu_seed":
+                    # in-Pallas-kernel mode: derive a distinct int32 seed
+                    # per consuming layer from the step seed
+                    for idx, layer in enumerate(rng_layers):
+                        layer.set_rng(
+                            ("pltpu_seed", rng[1] * 1000003 + idx))
+                else:
+                    keys = jax.random.split(rng, len(rng_layers))
+                    for layer, key in zip(rng_layers, keys):
+                        layer.set_rng(key)
         for layer in self.layers:
             inputs = layer.forward(inputs)
         return inputs

@@ -568,11 +568,21 @@ def log_softmax_(ts, axis=-1):
 def dropout_(ts, rate, rng):
     """Inverted dropout: zero with prob ``rate``, scale survivors by 1/(1-p).
 
-    ``rng`` is a jax PRNG key (traced under jit, so each compiled step can
-    fold in the step counter for fresh masks)."""
+    ``rng`` is either a jax PRNG key (traced under jit, so each compiled
+    step can fold in the step counter for fresh masks), or — inside the
+    fused-epoch Pallas megakernel, where threefry isn't available — a
+    ``("pltpu_seed", int32)`` marker that seeds the TPU core's hardware PRNG
+    (pltpu.prng_seed / prng_random_bits)."""
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, p=keep, shape=ts.shape)
     scale = 1.0 / keep
+    if isinstance(rng, tuple) and rng[0] == "pltpu_seed":
+        from jax.experimental.pallas import tpu as pltpu
+
+        pltpu.prng_seed(rng[1])
+        bits = pltpu.bitcast(pltpu.prng_random_bits(ts.shape), jnp.uint32)
+        mask = bits < jnp.uint32(int(keep * (2 ** 32 - 1)))
+    else:
+        mask = jax.random.bernoulli(rng, p=keep, shape=ts.shape)
     values = jnp.where(mask, ts.data * scale, 0.0)
 
     def grad_fn(grad):
