@@ -1,0 +1,92 @@
+"""Tensor parallelism on the simulated 8-device mesh: sharded training must
+match single-device training numerically (same init, same data), since the
+math is identical up to all-reduce ordering."""
+
+import numpy as np
+import pytest
+
+from tinynn_autograd_tpu.nn.layers import Dense, Dropout, ReLU
+from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+from tinynn_autograd_tpu.nn.model import Model
+from tinynn_autograd_tpu.nn.net import Net
+from tinynn_autograd_tpu.nn.optimizer import Adam, SGD
+from tinynn_autograd_tpu.parallel import TensorParallel, make_mesh
+from tinynn_autograd_tpu.utils.seeder import random_seed
+
+
+def _mlp(seed, opt):
+    random_seed(seed)
+    # hidden widths divisible by 8 -> (col,row) sharded pairs; final 4 runs
+    # replicated
+    net = Net([Dense(32, num_in=8), ReLU(), Dense(16, num_in=32), ReLU(),
+               Dense(4, num_in=16)])
+    return Model(net, SoftmaxCrossEntropyLoss(), opt)
+
+
+def _data(n=32):
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, 8).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, n)]
+    return x, y
+
+
+def test_tp_matches_single_device_training():
+    x, y = _data()
+    m_tp = _mlp(1, SGD(lr=0.1))
+    m_ref = _mlp(1, SGD(lr=0.1))
+
+    tp = TensorParallel(m_tp, mesh=make_mesh(8, axis_name="model"))
+    for _ in range(4):
+        tp_loss = float(tp.train_step(x, y))
+        ref_loss = float(m_ref.train_step(x, y))
+        np.testing.assert_allclose(tp_loss, ref_loss, rtol=2e-4, atol=1e-6)
+
+    gathered = tp.gather_params()
+    for layer_tp, layer_ref in zip(gathered, m_ref._params):
+        for k in layer_ref:
+            np.testing.assert_allclose(
+                layer_tp[k], np.asarray(layer_ref[k]),
+                rtol=3e-4, atol=1e-5)
+
+
+def test_tp_adam_converges():
+    x, y = _data(64)
+    tp = TensorParallel(_mlp(2, Adam(lr=1e-2)),
+                        mesh=make_mesh(8, axis_name="model"))
+    losses = [float(tp.train_step(x, y)) for _ in range(40)]
+    assert losses[-1] < losses[0] * 0.5
+
+
+def test_tp_predict_matches_model():
+    x, y = _data(16)
+    m = _mlp(3, SGD(lr=0.1))
+    tp = TensorParallel(m, mesh=make_mesh(8, axis_name="model"))
+    # before any training: TP forward == plain forward
+    out_tp = tp.predict(x).numpy()
+    out_ref = m.predict(x).numpy()
+    np.testing.assert_allclose(out_tp, out_ref, rtol=2e-4, atol=1e-5)
+
+
+def test_tp_shard_layout():
+    m = _mlp(4, SGD(lr=0.1))
+    tp = TensorParallel(m, mesh=make_mesh(8, axis_name="model"))
+    x, y = _data(8)
+    tp.train_step(x, y)
+    # layers: Dense32(col) ReLU Dense16(row) ReLU Dense4(rep)
+    assert tp._layout == ["col", "row", "rep"]
+    # col weight shard: full rows, 1/8 of columns per device
+    w0 = tp._params[0]["w"]
+    assert w0.shape == (8, 32)
+    assert w0.addressable_shards[0].data.shape == (8, 4)
+    w1 = tp._params[2]["w"]
+    assert w1.addressable_shards[0].data.shape == (4, 16)
+
+
+def test_tp_rejects_unsupported_layers():
+    random_seed(5)
+    net = Net([Dense(16, num_in=8), Dropout(0.5), Dense(4, num_in=16)])
+    m = Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+    tp = TensorParallel(m, mesh=make_mesh(8, axis_name="model"))
+    x, y = _data(8)
+    with pytest.raises(ValueError):
+        tp.train_step(x, y)

@@ -1,0 +1,267 @@
+"""Tensor parallelism: Megatron-style sharded MLP training over a mesh.
+
+Beyond data parallelism (data_parallel.py), this shards the MODEL: Dense
+layers are split across the mesh in column/row pairs —
+
+- column-parallel layer: W [D, H] split on the OUTPUT dim -> each device
+  holds W[:, shard] and computes its slice of the activations (no
+  communication; the following elementwise activation applies per-shard);
+- row-parallel layer: W [H, D'] split on the INPUT dim -> each device
+  contracts its activation shard and a ``psum`` over ICI reassembles the
+  output.
+
+One all-reduce per layer PAIR in forward, and (by symmetry of the VJPs) one
+in backward — the standard Megatron-LM communication pattern, expressed with
+``shard_map`` + ``jax.lax.psum`` (never NCCL-style point-to-point).
+
+The same tape autodiff runs unchanged inside the shard_map region: psum's
+adjoint under shard_map is identity-per-shard, so the hand VJPs of matmul
+compose with the collective exactly like the forward. Gradients of sharded
+weights stay sharded (each device updates its own shard); gradients of
+replicated params (biases of row layers, all batch-path tensors) are
+psum-reduced where the forward broadcast them.
+
+Scope (round 1): pure Dense/Activation stacks with even hidden widths —
+exactly the flagship MLP family. Layers are paired (col, row) from the
+front; an odd trailing Dense runs replicated.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tinynn_autograd_tpu.core.tensor import Tensor
+from tinynn_autograd_tpu.nn.layers import Activation, Dense
+from tinynn_autograd_tpu.parallel.mesh import make_mesh
+from tinynn_autograd_tpu.utils import seeder
+
+
+class _PsumTensor:
+    """Helper namespace: psum as a tape primitive (identity VJP per shard —
+    the cotangent of an all-reduced value is already the full gradient on
+    every shard)."""
+
+    @staticmethod
+    def psum(ts, axis_name):
+        values = jax.lax.psum(ts.data, axis_name=axis_name)
+
+        def grad_fn(grad):
+            return grad
+
+        from tinynn_autograd_tpu.ops.primitives import build_unary_ops_tensor
+
+        return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+class TensorParallel:
+    """Shard a Dense/Activation Net across a 1-D mesh and train with the
+    fused step (forward + tape backward + optimizer) inside shard_map.
+
+    Usage::
+
+        tp = TensorParallel(model, mesh=make_mesh(8))
+        loss = tp.train_step(x, y)     # full batch, replicated
+    """
+
+    def __init__(self, model, mesh=None, n_devices=None, axis_name="model"):
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_devices, axis_name)
+        self.axis_name = axis_name
+        self.n_devices = int(self.mesh.devices.size)
+        self._params = None          # sharded param pytree (device view)
+        self._opt_state = None
+        self._step_fn = None
+        self._layout = None          # per-Dense: "col" | "row" | "rep"
+
+    # ----------------------------------------------------------- sharding
+
+    @property
+    def net(self):
+        return self.model.net
+
+    def _plan_layout(self):
+        """Pair Dense layers (col, row, col, row, ...); each pair's inner
+        width must divide by the mesh. Non-Dense layers are pass-through."""
+        denses = [l for l in self.net.layers if isinstance(l, Dense)]
+        for layer in self.net.layers:
+            if not isinstance(layer, (Dense, Activation)):
+                raise ValueError(
+                    "TensorParallel supports Dense/Activation stacks; got %s"
+                    % layer.name)
+        layout = []
+        i = 0
+        while i < len(denses):
+            if i + 1 < len(denses) and (
+                    denses[i].shapes["w"][1] % self.n_devices == 0):
+                layout += ["col", "row"]
+                i += 2
+            else:
+                layout.append("rep")
+                i += 1
+        self._layout = layout
+        return denses
+
+    def _shard_spec(self, kind, name):
+        if kind == "col":
+            # W [D, H/n] per device, b [1, H/n]
+            return P(None, self.axis_name)
+        if kind == "row" and name == "w":
+            return P(self.axis_name, None)   # W [H/n, D']
+        return P()                            # row bias + replicated layers
+
+    def _shard_params(self):
+        """Split the (initialized, replicated) layer params across the mesh
+        according to the layout; returns the sharded pytree."""
+        denses = self._plan_layout()
+        tree = []
+        dense_i = 0
+        self._specs = []
+        for layer in self.net.layers:
+            layer_tree = {}
+            layer_specs = {}
+            if isinstance(layer, Dense):
+                kind = self._layout[dense_i]
+                for name, ts in layer.params.items():
+                    spec = self._shard_spec(kind, name)
+                    sharding = NamedSharding(self.mesh, spec)
+                    layer_tree[name] = jax.device_put(ts.data, sharding)
+                    layer_specs[name] = spec
+                dense_i += 1
+            self._specs.append(layer_specs)
+            tree.append(layer_tree)
+        return tree
+
+    # ------------------------------------------------------------ forward
+
+    def _tp_forward(self, params, x):
+        """Per-shard forward: runs INSIDE shard_map on local param shards;
+        returns the replicated logits Tensor (tape attached)."""
+        axis = self.axis_name
+        h = Tensor(x)
+        dense_i = 0
+        tensors = []   # per-layer dict of param Tensors (for grads)
+        for li, layer in enumerate(self.net.layers):
+            if isinstance(layer, Dense):
+                kind = self._layout[dense_i]
+                w = Tensor(params[li]["w"], requires_grad=True)
+                b = Tensor(params[li]["b"], requires_grad=True)
+                tensors.append({"w": w, "b": b})
+                if kind == "row":
+                    # input h is output-sharded from the preceding col layer
+                    h = _PsumTensor.psum(h @ w, axis) + b
+                else:  # col or rep: weights already local slices
+                    h = h @ w + b
+                dense_i += 1
+            else:
+                h = layer.forward(h)
+                tensors.append({})
+        return h, tensors
+
+    # -------------------------------------------------------------- build
+
+    def _build(self):
+        loss_fn = self.model.loss
+        optimizer = self.model.optimizer
+        axis = self.axis_name
+        n_dev = self.n_devices
+        specs = self._specs
+
+        in_param_specs = [
+            {k: s for k, s in layer.items()} for layer in specs
+        ]
+
+        def local_step(params, opt_state, x, y):
+            pred, tensors = self._tp_forward(params, x)
+            loss_t = loss_fn.loss(pred, Tensor(y))
+            loss_t.backward()
+            grads = [
+                {k: t.grad for k, t in layer.items()} for layer in tensors
+            ]
+            # replicated-param grads were computed per shard off a
+            # replicated forward: identical already EXCEPT biases of col
+            # layers are sharded (fine) and 'rep' dense grads are identical.
+            # Batch-path grads never leave the shard.
+            steps, new_opt = optimizer.update(grads, params, opt_state)
+            new_params = jax.tree.map(lambda p, s: p + s, params, steps)
+            loss_out = loss_t.data
+            return new_params, new_opt, loss_out
+
+        param_specs = in_param_specs
+        # opt state: t replicated; slots follow the param specs
+        slot_specs = {
+            name: param_specs for name in optimizer.slot_names
+        }
+        opt_spec = {"t": P(), "slots": slot_specs}
+
+        sharded = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(param_specs, opt_spec, P(), P()),
+            out_specs=(param_specs, opt_spec, P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
+    # ---------------------------------------------------------- train API
+
+    def train_step(self, x, y):
+        """One tensor-parallel fused step on a replicated batch; returns the
+        loss (device scalar)."""
+        x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
+        y = jnp.asarray(y.data if isinstance(y, Tensor) else y)
+        if not self.net.is_init:
+            self.net.init(x.shape)
+        if self._params is None:
+            self._params = self._shard_params()
+        if self._opt_state is None:
+            self._opt_state = self.model.optimizer.init_state(self._params)
+        if self._step_fn is None:
+            self.net.set_phase("TRAIN")
+            self._step_fn = self._build()
+
+        rep = NamedSharding(self.mesh, P())
+        x = jax.device_put(x, rep)
+        y = jax.device_put(y, rep)
+        self._params, self._opt_state, loss = self._step_fn(
+            self._params, self._opt_state, x, y)
+        return loss
+
+    def predict(self, x):
+        """TP forward (no tape) on a replicated batch."""
+        x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
+        if self._params is None:
+            self._params = self._shard_params()
+        specs = self._specs
+
+        def fwd(params, xb):
+            out, _ = self._tp_forward(params, xb)
+            return out.data
+
+        sharded = jax.shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(specs, P()), out_specs=P(),
+            check_vma=False,
+        )
+        rep = NamedSharding(self.mesh, P())
+        return Tensor(jax.jit(sharded)(self._params,
+                                       jax.device_put(x, rep)))
+
+    def gather_params(self):
+        """Reassemble the full (unsharded) parameter pytree on host —
+        e.g. to load back into a plain Model."""
+        out = []
+        dense_i = 0
+        for li, layer in enumerate(self.net.layers):
+            if not isinstance(layer, Dense):
+                out.append({})
+                continue
+            kind = self._layout[dense_i]
+            dense_i += 1
+            layer_out = {}
+            for name, arr in self._params[li].items():
+                layer_out[name] = np.asarray(arr)  # jax gathers shards
+            out.append(layer_out)
+        return out
