@@ -30,6 +30,8 @@ from tinynn_autograd_tpu.ops.primitives import (
     neg_,
     pad_,
     pow_,
+    ppermute_,
+    psum_,
     relu_,
     reshape_,
     sigmoid_,

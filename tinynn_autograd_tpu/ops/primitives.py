@@ -674,6 +674,41 @@ def conv2d_(ts_x, ts_w, stride, padding):
     return build_binary_ops_tensor(ts_x, ts_w, grad_fn_x, grad_fn_w, values)
 
 
+# --------------------------------------------------------------------------
+# collective primitives (valid inside shard_map regions)
+# --------------------------------------------------------------------------
+
+def psum_(ts, axis_name):
+    """All-reduce sum over a mesh axis, as a tape primitive.
+
+    VJP is identity per shard: the cotangent of an all-reduced (replicated)
+    value is already the total gradient each shard needs. Used by the
+    tensor/pipeline-parallel layers so the same tape autodiff runs through
+    collectives."""
+    values = jax.lax.psum(ts.data, axis_name=axis_name)
+
+    def grad_fn(grad):
+        return grad
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def ppermute_(ts, axis_name, perm):
+    """Point-to-point mesh permutation (lax.ppermute) as a tape primitive.
+
+    VJP permutes the cotangent along the INVERSE permutation — gradients
+    flow backward across the same links, which is exactly what routes the
+    backward pass of a pipeline stage to its predecessor."""
+    perm = list(perm)
+    values = jax.lax.ppermute(ts.data, axis_name=axis_name, perm=perm)
+    inv = [(dst, src) for (src, dst) in perm]
+
+    def grad_fn(grad):
+        return jax.lax.ppermute(grad, axis_name=axis_name, perm=inv)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
 def where_(cond, ts1, ts2):
     """Elementwise select; gradient flows to the selected branch only."""
     ts1, ts2 = as_tensor(ts1), as_tensor(ts2)

@@ -38,23 +38,6 @@ from tinynn_autograd_tpu.parallel.mesh import make_mesh
 from tinynn_autograd_tpu.utils import seeder
 
 
-class _PsumTensor:
-    """Helper namespace: psum as a tape primitive (identity VJP per shard —
-    the cotangent of an all-reduced value is already the full gradient on
-    every shard)."""
-
-    @staticmethod
-    def psum(ts, axis_name):
-        values = jax.lax.psum(ts.data, axis_name=axis_name)
-
-        def grad_fn(grad):
-            return grad
-
-        from tinynn_autograd_tpu.ops.primitives import build_unary_ops_tensor
-
-        return build_unary_ops_tensor(ts, grad_fn, values)
-
-
 class TensorParallel:
     """Shard a Dense/Activation Net across a 1-D mesh and train with the
     fused step (forward + tape backward + optimizer) inside shard_map.
@@ -151,7 +134,9 @@ class TensorParallel:
                 tensors.append({"w": w, "b": b})
                 if kind == "row":
                     # input h is output-sharded from the preceding col layer
-                    h = _PsumTensor.psum(h @ w, axis) + b
+                    from tinynn_autograd_tpu.ops import psum_
+
+                    h = psum_(h @ w, axis) + b
                 else:  # col or rep: weights already local slices
                     h = h @ w + b
                 dense_i += 1
