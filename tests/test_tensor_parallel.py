@@ -82,6 +82,41 @@ def test_tp_shard_layout():
     assert w1.addressable_shards[0].data.shape == (4, 16)
 
 
+def test_hybrid_dp_tp_matches_single_device():
+    # 2x4 mesh: 2-way data parallel x 4-way tensor parallel; must still
+    # reproduce single-device training (grads pmean over data, psum over
+    # model)
+    from tinynn_autograd_tpu.parallel.mesh import make_mesh_2d
+
+    x, y = _data(32)
+    random_seed(6)
+    net = Net([Dense(32, num_in=8), ReLU(), Dense(16, num_in=32), ReLU(),
+               Dense(4, num_in=16)])
+    m_h = Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+    m_ref = _toy_copy(6)
+
+    mesh = make_mesh_2d((2, 4), axis_names=("data", "model"))
+    tp = TensorParallel(m_h, mesh=mesh, axis_name="model", data_axis="data")
+    for _ in range(3):
+        h_loss = float(tp.train_step(x, y))
+        r_loss = float(m_ref.train_step(x, y))
+        np.testing.assert_allclose(h_loss, r_loss, rtol=3e-4, atol=1e-6)
+
+    gathered = tp.gather_params()
+    for layer_tp, layer_ref in zip(gathered, m_ref._params):
+        for k in layer_ref:
+            np.testing.assert_allclose(
+                layer_tp[k], np.asarray(layer_ref[k]),
+                rtol=3e-4, atol=1e-5)
+
+
+def _toy_copy(seed):
+    random_seed(seed)
+    net = Net([Dense(32, num_in=8), ReLU(), Dense(16, num_in=32), ReLU(),
+               Dense(4, num_in=16)])
+    return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+
 def test_tp_rejects_unsupported_layers():
     random_seed(5)
     net = Net([Dense(16, num_in=8), Dropout(0.5), Dense(4, num_in=16)])

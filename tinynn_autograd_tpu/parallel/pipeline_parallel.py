@@ -154,7 +154,7 @@ class PipelineParallel:
                 h = layer.forward(h)
         return h, tensors
 
-    def _build(self, mb_size, feat, n_classes):
+    def _build(self, mb_size):
         loss_fn = self.model.loss
         optimizer = self.model.optimizer
         axis = self.axis_name
@@ -283,7 +283,7 @@ class PipelineParallel:
             self._opt_state = self.model.optimizer.init_state(self._params)
         if self._step_fn is None:
             self.net.set_phase("TRAIN")
-            self._step_fn = self._build(mb, x.shape[1:], y.shape[-1])
+            self._step_fn = self._build(mb)
 
         rep = NamedSharding(self.mesh, P())
         xm = jax.device_put(xm, rep)

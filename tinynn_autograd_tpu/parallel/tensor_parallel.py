@@ -35,7 +35,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from tinynn_autograd_tpu.core.tensor import Tensor
 from tinynn_autograd_tpu.nn.layers import Activation, Dense
 from tinynn_autograd_tpu.parallel.mesh import make_mesh
-from tinynn_autograd_tpu.utils import seeder
 
 
 class TensorParallel:
@@ -48,12 +47,21 @@ class TensorParallel:
         loss = tp.train_step(x, y)     # full batch, replicated
     """
 
-    def __init__(self, model, mesh=None, n_devices=None, axis_name="model"):
+    def __init__(self, model, mesh=None, n_devices=None, axis_name="model",
+                 data_axis=None):
+        """``data_axis``: name of a SECOND mesh axis to data-parallelize
+        over (2-D hybrid DP x TP): the batch is sharded along it and
+        gradients are pmean-reduced across it before the optimizer."""
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, axis_name)
         self.axis_name = axis_name
-        self.n_devices = int(self.mesh.devices.size)
+        self.data_axis = data_axis
+        if data_axis is not None and data_axis not in self.mesh.axis_names:
+            raise ValueError("data_axis %r not in mesh axes %s"
+                             % (data_axis, self.mesh.axis_names))
+        self.n_devices = int(dict(zip(self.mesh.axis_names,
+                                      self.mesh.devices.shape))[axis_name])
         self._params = None          # sharded param pytree (device view)
         self._opt_state = None
         self._step_fn = None
@@ -151,7 +159,7 @@ class TensorParallel:
         loss_fn = self.model.loss
         optimizer = self.model.optimizer
         axis = self.axis_name
-        n_dev = self.n_devices
+        data_axis = self.data_axis
         specs = self._specs
 
         in_param_specs = [
@@ -169,9 +177,15 @@ class TensorParallel:
             # replicated forward: identical already EXCEPT biases of col
             # layers are sharded (fine) and 'rep' dense grads are identical.
             # Batch-path grads never leave the shard.
+            if data_axis is not None:
+                # hybrid DP x TP: all-reduce grads over the data axis
+                grads = jax.tree.map(
+                    lambda g: jax.lax.pmean(g, axis_name=data_axis), grads)
             steps, new_opt = optimizer.update(grads, params, opt_state)
             new_params = jax.tree.map(lambda p, s: p + s, params, steps)
             loss_out = loss_t.data
+            if data_axis is not None:
+                loss_out = jax.lax.pmean(loss_out, axis_name=data_axis)
             return new_params, new_opt, loss_out
 
         param_specs = in_param_specs
@@ -181,10 +195,11 @@ class TensorParallel:
         }
         opt_spec = {"t": P(), "slots": slot_specs}
 
+        batch_spec = P(self.data_axis) if self.data_axis else P()
         sharded = jax.shard_map(
             local_step,
             mesh=self.mesh,
-            in_specs=(param_specs, opt_spec, P(), P()),
+            in_specs=(param_specs, opt_spec, batch_spec, batch_spec),
             out_specs=(param_specs, opt_spec, P()),
             check_vma=False,
         )
@@ -207,9 +222,10 @@ class TensorParallel:
             self.net.set_phase("TRAIN")
             self._step_fn = self._build()
 
-        rep = NamedSharding(self.mesh, P())
-        x = jax.device_put(x, rep)
-        y = jax.device_put(y, rep)
+        batch_spec = P(self.data_axis) if self.data_axis else P()
+        bsh = NamedSharding(self.mesh, batch_spec)
+        x = jax.device_put(x, bsh)
+        y = jax.device_put(y, bsh)
         self._params, self._opt_state, loss = self._step_fn(
             self._params, self._opt_state, x, y)
         return loss

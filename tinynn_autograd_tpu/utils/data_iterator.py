@@ -30,8 +30,6 @@ class BatchIterator(BaseIterator):
         self.drop_last = drop_last
 
     def __call__(self, inputs, targets):
-        from tinynn_autograd_tpu.core.tensor import Tensor
-
         from tinynn_autograd_tpu import native
 
         n = len(inputs)
