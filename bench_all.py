@@ -74,9 +74,10 @@ def main():
         sps = _time_epochs(m, x_dev, y_dev, batch, 20, len(tx) // batch)
         emit("mnist_mlp_%s_steps_per_sec" % name, sps, "steps/s")
 
-    # 3. deep-graph stress: 100-layer MLP
+    # 3. deep-graph stress: 100-layer MLP (stacked scan body)
     random_seed(0)
-    m = Model(build_deep_mlp(num_in=256, depth=100, width=256, num_out=10),
+    m = Model(build_deep_mlp(num_in=256, depth=100, width=256, num_out=10,
+                             stacked=True),
               SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     rng = np.random.RandomState(0)
     dx = rng.randn(2560, 256).astype(np.float32)

@@ -313,6 +313,68 @@ class Dropout(Layer):
         return ops.dropout_(inputs, self.rate, rng)
 
 
+class DenseStack(Layer):
+    """``depth`` homogeneous Dense(width->width)+activation layers with
+    STACKED parameters (w: [depth, W, W], b: [depth, 1, W]) executed as one
+    scan primitive (ops.dense_stack_).
+
+    This is the deep-network fast path: a 100-layer body compiles to two
+    on-device scan kernels (forward + reverse) per training step instead of
+    hundreds of per-layer kernels, and the optimizer updates two stacked
+    leaves. Numerics are identical to the equivalent stack of Dense layers.
+    """
+
+    def __init__(self, depth, width=None, activation="relu", w_init=None,
+                 b_init=None):
+        super().__init__("DenseStack")
+        self.depth = depth
+        self.width = width
+        self.activation = activation
+        self.initializers = {
+            "w": w_init if w_init is not None else XavierUniformInit(),
+            "b": b_init if b_init is not None else ZerosInit(),
+        }
+        self.shapes = {"w": [depth, width, width], "b": [depth, 1, width]}
+        self.params = {"w": None, "b": None}
+        self._is_init = False
+        if width is not None:
+            self._init_parameters(width)
+
+    @property
+    def is_init(self):
+        return self._is_init
+
+    def _init_parameters(self, width):
+        from tinynn_autograd_tpu.core.tensor import Tensor
+
+        self.width = int(width)
+        self.shapes = {"w": [self.depth, self.width, self.width],
+                       "b": [self.depth, 1, self.width]}
+        # per-layer draws with the correct 2-D fans, stacked
+        ws = [self.initializers["w"]((self.width, self.width)).data
+              for _ in range(self.depth)]
+        bs = [self.initializers["b"]((1, self.width)).data
+              for _ in range(self.depth)]
+        import jax.numpy as jnp
+
+        self.params = {
+            "w": Tensor(jnp.stack(ws), requires_grad=True),
+            "b": Tensor(jnp.stack(bs), requires_grad=True),
+        }
+        self._is_init = True
+
+    def init_params(self, input_shape):
+        if not self._is_init:
+            self._init_parameters(input_shape[-1])
+        return (input_shape[0], self.width)
+
+    def forward(self, inputs):
+        if not self._is_init:
+            self._init_parameters(inputs.shape[-1])
+        return ops.dense_stack_(inputs, self.params["w"], self.params["b"],
+                                activation=self.activation)
+
+
 class Activation(Layer):
     """Stateless elementwise layer (reference contract:
     core/layers.py:60-71)."""

@@ -11,6 +11,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     clip_,
     concat_,
     conv2d_,
+    dense_stack_,
     div_,
     dot_,
     dropout_,
