@@ -192,6 +192,11 @@ class Model:
 
         n = x_all.shape[0]
         n_steps = n // batch_size
+        if n_steps == 0:
+            raise ValueError(
+                "dataset of %d samples is smaller than batch_size=%d "
+                "(the ragged tail is dropped; nothing would train)"
+                % (n, batch_size))
 
         use_fused = fused is True or (fused == "auto" and self._fused_ok())
         interpret = fused is True and jax.default_backend() != "tpu"
@@ -227,10 +232,17 @@ class Model:
                 self.optimizer.load_state_dict(self._opt_state)
                 self._rebind_concrete()
                 return losses
-            except Exception:
+            except Exception as e:
                 if not use_fused or fused is True:
                     raise
-                # fused path failed to build/compile: fall back to scan
+                # fused megakernel failed to build/compile on this config:
+                # fall back to the scanned epoch (correct, somewhat slower)
+                import warnings
+
+                warnings.warn(
+                    "fused-epoch megakernel unavailable (%s: %s); falling "
+                    "back to the scanned epoch" % (type(e).__name__, e),
+                    RuntimeWarning)
                 self._fused_broken = True
                 use_fused = False
 
