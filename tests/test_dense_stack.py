@@ -89,3 +89,52 @@ def test_stacked_deep_mlp_builder_trains():
     y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 16)]
     losses = np.asarray(model.train_epoch(x, y, batch_size=16, shuffle=False))
     assert np.isfinite(losses).all()
+
+
+def test_dense_stack_double_backward_fresh_grads():
+    """Regression for the backward memo: a SECOND backward through the same
+    forward graph with a different cotangent must produce that cotangent's
+    gradients, not a stale cached result (the round-1 cache keyed on id()
+    could alias a freed object's reused id)."""
+    import gc
+
+    from tinynn_autograd_tpu.ops.primitives import dense_stack_
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 8).astype(np.float32)
+    w = (rng.randn(3, 8, 8) * 0.3).astype(np.float32)
+    b = (rng.randn(3, 1, 8) * 0.1).astype(np.float32)
+
+    def run_once(gout):
+        tx = Tensor(x, requires_grad=True)
+        tw = Tensor(w, requires_grad=True)
+        tb = Tensor(b, requires_grad=True)
+        out = dense_stack_(tx, tw, tb, "tanh")
+        out.backward(Tensor(gout))
+        return (np.asarray(tx.grad), np.asarray(tw.grad),
+                np.asarray(tb.grad))
+
+    g1 = rng.randn(4, 8).astype(np.float32)
+    g2 = rng.randn(4, 8).astype(np.float32)
+    want1, want_w1, want_b1 = run_once(g1)
+    want2, want_w2, want_b2 = run_once(g2)
+
+    # same graph, two backwards with zero_grad between; force gc so a stale
+    # id-keyed cache would have the chance to alias
+    tx = Tensor(x, requires_grad=True)
+    tw = Tensor(w, requires_grad=True)
+    tb = Tensor(b, requires_grad=True)
+    out = dense_stack_(tx, tw, tb, "tanh")
+    out.backward(Tensor(g1))
+    np.testing.assert_allclose(np.asarray(tw.grad), want_w1,
+                               rtol=1e-5, atol=1e-6)
+    for t in (tx, tw, tb):
+        t.zero_grad()
+    gc.collect()
+    out.backward(Tensor(g2))
+    np.testing.assert_allclose(np.asarray(tx.grad), want2,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tw.grad), want_w2,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tb.grad), want_b2,
+                               rtol=1e-5, atol=1e-6)

@@ -5,6 +5,8 @@ execution tier."""
 import numpy as np
 import pytest
 
+from tinynn_autograd_tpu import Tensor
+
 from tinynn_autograd_tpu.nn.layers import Dense, ReLU, Sigmoid
 from tinynn_autograd_tpu.nn.losses import MSELoss, SoftmaxCrossEntropyLoss
 from tinynn_autograd_tpu.nn.model import Model
@@ -92,3 +94,50 @@ def test_supports_gating():
     net4 = Net([Dense(4096, num_in=4096)])
     net4.init((16, 4096))
     assert not fused_epoch.supports(net4, net4.params_tree(), Adam())
+
+
+def test_pltpu_seed_marker_dropout_statistics():
+    """The megakernel dropout path (('pltpu_seed', t, interpret) marker):
+    keep-rate within statistical tolerance, survivors scaled by 1/keep,
+    gradient masked identically to the forward."""
+    from tinynn_autograd_tpu.ops.primitives import dropout_
+
+    rate = 0.4
+    x = np.ones((64, 256), np.float32)
+    t = Tensor(x, requires_grad=True)
+    out = dropout_(t, rate, ("pltpu_seed", 7, True))
+    vals = np.asarray(out.data)
+    kept = vals != 0.0
+    keep_frac = kept.mean()
+    assert abs(keep_frac - (1 - rate)) < 0.02, keep_frac
+    # survivors are exactly scaled by 1/keep
+    np.testing.assert_allclose(vals[kept], 1.0 / (1 - rate), rtol=1e-6)
+    # backward uses the SAME mask
+    out.backward(Tensor(np.ones_like(x)))
+    g = np.asarray(t.grad)
+    np.testing.assert_array_equal(g != 0.0, kept)
+    # different seeds give different masks
+    out2 = dropout_(Tensor(x), rate, ("pltpu_seed", 8, True))
+    assert (np.asarray(out2.data) != vals).any()
+
+
+def test_fused_epoch_with_dropout_interpret():
+    """Megakernel + Dropout end-to-end in interpret mode: trains, loss
+    drops, and the mask refreshes per step (losses vary while params near
+    fixed under lr=0)."""
+    from tinynn_autograd_tpu.nn.layers import Dropout
+
+    random_seed(11)
+    net = Net([Dense(32, num_in=16), ReLU(), Dropout(0.3),
+               Dense(4, num_in=32)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(128, 16).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 128)]
+    first = None
+    for _ in range(30):
+        losses = np.asarray(model.train_epoch(x, y, batch_size=32,
+                                              fused=True))
+        assert np.isfinite(losses).all()
+        first = losses.mean() if first is None else first
+    assert losses.mean() < first * 0.8

@@ -36,9 +36,17 @@ def test_truncated_normal():
     assert vals.max() <= 2.0 + 1e-6
     assert abs(vals.mean()) < 1e-2
 
+    # pin the documented divergence (nn/initializer.py docstring): bounds are
+    # mean ± 2*std for ANY std. The reference double-scales for std != 1
+    # (reference: core/initializer.py:37 passes ±2*std as *standardized*
+    # bounds), which for std=0.5 would truncate at mean ± 2*std*std = ±0.25.
+    # Assert our bounds hold AND that draws actually exceed the
+    # double-scaled bounds, so this test fails under either semantics drift.
     vals2 = TruncatedNormalInit(mean=1.0, std=0.5)(SHAPE).numpy()
     assert vals2.min() >= 1.0 - 2 * 0.5 - 1e-6
     assert vals2.max() <= 1.0 + 2 * 0.5 + 1e-6
+    assert vals2.max() > 1.0 + 2 * 0.5 * 0.5  # would fail if double-scaled
+    assert vals2.min() < 1.0 - 2 * 0.5 * 0.5
 
 
 def test_uniform():

@@ -149,3 +149,21 @@ def test_dp_save(tmp_path):
     path = os.path.join(tmp_path, "dp.pkl")
     dp.save(path)
     assert os.path.exists(path)
+
+
+def test_transpose_negative_axes_grad():
+    # regression: the VJP must normalize negative axes before inverting the
+    # permutation (argsort on raw negatives picks a garbage order)
+    from tinynn_autograd_tpu import ops
+
+    rng = np.random.RandomState(0)
+    for axes in [(-1, 0, 1), (0, -1, -2), (-2, -3, -1)]:
+        x = rng.randn(2, 3, 4).astype(np.float32)
+        t = Tensor(x, requires_grad=True)
+        out = ops.transpose(t, axes)
+        np.testing.assert_allclose(np.asarray(out.data), x.transpose(axes))
+        g = rng.randn(*out.shape).astype(np.float32)
+        out.backward(Tensor(g))
+        norm = [a % 3 for a in axes]
+        expect = g.transpose(np.argsort(norm))
+        np.testing.assert_allclose(np.asarray(t.grad), expect, rtol=1e-6)

@@ -3,6 +3,7 @@ work with or without the compiled library; these tests assert availability
 (the toolchain is part of the supported environment) plus exact parity."""
 
 import numpy as np
+import pytest
 
 from tinynn_autograd_tpu import native
 
@@ -53,3 +54,16 @@ def test_batch_iterator_uses_native_path():
     all_x = np.concatenate([b.inputs for b in batches])
     np.testing.assert_allclose(
         np.sort(all_x.ravel()), np.sort(x.ravel()), rtol=1e-6)
+
+
+def test_one_hot_rejects_out_of_range_labels():
+    with pytest.raises(IndexError):
+        native.one_hot(np.array([0, 3, 10]), 10)
+    with pytest.raises(IndexError):
+        native.one_hot(np.array([-1, 2]), 10)
+
+
+def test_gather_rows_rejects_out_of_range_indices():
+    src = np.zeros((5, 4), np.float32)
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.array([0, 5]))

@@ -58,12 +58,16 @@ def available():
 
 def gather_rows(src, idx):
     """src[idx] for a C-contiguous float32 2-D array; numpy fallback
-    otherwise."""
+    otherwise. Indices are bounds-checked up front so the native path can
+    never read out of range (numpy would raise; the raw C loop would not)."""
     lib = _load()
     if (lib is None or src.ndim != 2 or src.dtype != np.float32
             or not src.flags.c_contiguous):
         return src[idx]
     idx = np.ascontiguousarray(idx, dtype=np.int64)
+    if idx.size and (idx.min() < 0 or idx.max() >= src.shape[0]):
+        raise IndexError(
+            "gather_rows index out of range for %d rows" % src.shape[0])
     out = np.empty((len(idx), src.shape[1]), dtype=np.float32)
     lib.gather_rows_f32(
         src.ctypes.data, out.ctypes.data, idx.ctypes.data,
@@ -72,8 +76,14 @@ def gather_rows(src, idx):
 
 
 def one_hot(labels, num_classes):
+    """Labels are validated on BOTH paths: the raw C loop would corrupt the
+    heap on an out-of-range label, and numpy's eye-indexing silently wraps
+    negatives — an explicit IndexError beats either."""
     lib = _load()
     labels = np.ascontiguousarray(labels, dtype=np.int64)
+    if labels.size and (labels.min() < 0 or labels.max() >= num_classes):
+        raise IndexError(
+            "one_hot label out of range [0, %d)" % num_classes)
     if lib is None:
         return np.eye(num_classes, dtype=np.float32)[labels]
     out = np.empty((len(labels), num_classes), dtype=np.float32)

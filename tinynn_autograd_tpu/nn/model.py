@@ -200,51 +200,67 @@ class Model:
 
         use_fused = fused is True or (fused == "auto" and self._fused_ok())
         interpret = fused is True and jax.default_backend() != "tpu"
+        rng = seeder.next_key()
 
-        while True:
+        def compiled_runner(fused_flag):
+            """AOT lower + compile the n-epoch runner (cached per config).
+
+            Compiling ahead of time means megakernel build/lowering failures
+            surface HERE — before the call donates any buffer — so the
+            fused->scanned fallback never retries against deleted buffers,
+            and genuine runtime errors from the executable propagate to the
+            caller instead of being misreported as 'megakernel unavailable'.
+            """
             key = ("train_epochs", n_epochs, batch_size, bool(shuffle), n,
-                   use_fused, interpret)
+                   fused_flag, interpret)
+            if key not in self._jitted:
+                self.net.set_phase("TRAIN")
+                epoch_body = self._make_epoch_body(
+                    n, n_steps, batch_size, shuffle,
+                    x_all.shape[1:], y_all.shape[1:], fused_flag, interpret)
+
+                def runner(params, opt_state, xs, ys, rng):
+                    def body(carry, ekey):
+                        params, opt_state = carry
+                        params, opt_state, losses = epoch_body(
+                            params, opt_state, xs, ys, ekey)
+                        return (params, opt_state), losses
+
+                    keys = jax.random.split(rng, n_epochs)
+                    (params, opt_state), losses = jax.lax.scan(
+                        body, (params, opt_state), keys)
+                    return params, opt_state, losses
+
+                self._jitted[key] = (
+                    jax.jit(runner, donate_argnums=(0, 1))
+                    .lower(self._params, self._opt_state, x_all, y_all, rng)
+                    .compile())
+            return self._jitted[key]
+
+        if use_fused:
             try:
-                if key not in self._jitted:
-                    self.net.set_phase("TRAIN")
-                    epoch_body = self._make_epoch_body(
-                        n, n_steps, batch_size, shuffle,
-                        x_all.shape[1:], y_all.shape[1:],
-                        use_fused, interpret)
-
-                    def runner(params, opt_state, xs, ys, rng):
-                        def body(carry, ekey):
-                            params, opt_state = carry
-                            params, opt_state, losses = epoch_body(
-                                params, opt_state, xs, ys, ekey)
-                            return (params, opt_state), losses
-
-                        keys = jax.random.split(rng, n_epochs)
-                        (params, opt_state), losses = jax.lax.scan(
-                            body, (params, opt_state), keys)
-                        return params, opt_state, losses
-
-                    self._jitted[key] = jax.jit(runner, donate_argnums=(0, 1))
-
-                rng = seeder.next_key()
-                self._params, self._opt_state, losses = self._jitted[key](
-                    self._params, self._opt_state, x_all, y_all, rng)
-                self.optimizer.load_state_dict(self._opt_state)
-                self._rebind_concrete()
-                return losses
+                run = compiled_runner(True)
             except Exception as e:
-                if not use_fused or fused is True:
+                if fused is True:
                     raise
                 # fused megakernel failed to build/compile on this config:
                 # fall back to the scanned epoch (correct, somewhat slower)
                 import warnings
 
                 warnings.warn(
-                    "fused-epoch megakernel unavailable (%s: %s); falling "
-                    "back to the scanned epoch" % (type(e).__name__, e),
-                    RuntimeWarning)
+                    "fused-epoch megakernel failed to build/compile "
+                    "(%s: %s); falling back to the scanned epoch"
+                    % (type(e).__name__, e), RuntimeWarning)
                 self._fused_broken = True
                 use_fused = False
+        if not use_fused:
+            run = compiled_runner(False)
+
+        self._params, self._opt_state, losses = run(
+            self._params, self._opt_state, x_all, y_all, rng)
+        self.optimizer.load_state_dict(self._opt_state)
+        self._rebind_concrete()
+        return losses
 
     def _make_epoch_body(self, n, n_steps, batch_size, shuffle,
                          feat_shape, label_feat_shape, use_fused, interpret):

@@ -28,10 +28,12 @@ class Net:
             if rng_layers:
                 if isinstance(rng, tuple) and rng[0] == "pltpu_seed":
                     # in-Pallas-kernel mode: derive a distinct int32 seed
-                    # per consuming layer from the step seed
+                    # per consuming layer from the step seed, preserving the
+                    # trailing interpret flag if present
                     for idx, layer in enumerate(rng_layers):
                         layer.set_rng(
-                            ("pltpu_seed", rng[1] * 1000003 + idx))
+                            ("pltpu_seed", rng[1] * 1000003 + idx)
+                            + rng[2:])
                 else:
                     keys = jax.random.split(rng, len(rng_layers))
                     for layer, key in zip(rng_layers, keys):

@@ -318,11 +318,17 @@ def mean_(ts, axis=None, keepdims=False):
 
 
 def transpose_(ts, axes=None):
-    """reference: core/ops.py:267-278."""
+    """reference: core/ops.py:267-278.
+
+    Axes are normalized to non-negative before inverting the permutation, so
+    numpy-legal negative axes (e.g. (-1, 0, 1)) transpose the cotangent by
+    the correct inverse instead of a garbage argsort order.
+    """
     values = ts.data.transpose(axes)
     if axes is None:
         axes = list(reversed(range(ts.data.ndim)))
-    axes = list(axes)
+    ndim = ts.data.ndim
+    axes = [a % ndim for a in axes]
     inv = np.argsort(axes)
 
     def grad_fn(grad):
@@ -565,21 +571,44 @@ def log_softmax_(ts, axis=-1):
     return build_unary_ops_tensor(ts, grad_fn, values)
 
 
+def _hash_bits_u32(shape, seed):
+    """Counter-based uint32 stream (murmur3-style finalizer over iota+seed).
+
+    CPU-interpret stand-in for the TPU core PRNG inside the fused-epoch
+    megakernel: pltpu.prng_* has no CPU lowering, and this keeps the
+    megakernel's dropout path executable (and statistically testable) in
+    Pallas interpret mode. Masks differ from the TPU run — dropout only
+    needs i.i.d.-looking bits, not cross-backend determinism."""
+    n = 1
+    for s in shape:
+        n *= int(s)
+    x = jax.lax.iota(jnp.uint32, n)
+    x = x + jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(2654435761)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x.reshape(shape)
+
+
 def dropout_(ts, rate, rng):
     """Inverted dropout: zero with prob ``rate``, scale survivors by 1/(1-p).
 
     ``rng`` is either a jax PRNG key (traced under jit, so each compiled
     step can fold in the step counter for fresh masks), or — inside the
     fused-epoch Pallas megakernel, where threefry isn't available — a
-    ``("pltpu_seed", int32)`` marker that seeds the TPU core's hardware PRNG
-    (pltpu.prng_seed / prng_random_bits)."""
+    ``("pltpu_seed", int32[, interpret])`` marker that seeds the TPU core's
+    hardware PRNG (pltpu.prng_seed / prng_random_bits), or the counter-hash
+    stand-in when the kernel runs in CPU interpret mode."""
     keep = 1.0 - rate
     scale = 1.0 / keep
     if isinstance(rng, tuple) and rng[0] == "pltpu_seed":
-        from jax.experimental.pallas import tpu as pltpu
+        if len(rng) > 2 and rng[2]:
+            bits = _hash_bits_u32(ts.shape, rng[1])
+        else:
+            from jax.experimental.pallas import tpu as pltpu
 
-        pltpu.prng_seed(rng[1])
-        bits = pltpu.bitcast(pltpu.prng_random_bits(ts.shape), jnp.uint32)
+            pltpu.prng_seed(rng[1])
+            bits = pltpu.bitcast(pltpu.prng_random_bits(ts.shape), jnp.uint32)
         mask = bits < jnp.uint32(int(keep * (2 ** 32 - 1)))
     else:
         mask = jax.random.bernoulli(rng, p=keep, shape=ts.shape)
@@ -705,16 +734,17 @@ def dense_stack_(ts_x, ts_w, ts_b, activation="relu"):
     out, (h_ins, zs, acts) = jax.lax.scan(fwd_body, x, (w, b))
 
     # one shared backward computation per backward pass: memoize on the
-    # incoming cotangent's identity so the three grad_fns don't recompute
-    # the reverse scan (XLA would CSE it anyway; this keeps the trace small)
-    cache = {}
+    # incoming cotangent so the three grad_fns don't recompute the reverse
+    # scan (XLA would CSE it anyway; this keeps the trace small). The cache
+    # holds a STRONG reference to the cotangent and compares with `is`, so a
+    # freed object whose id is reused can never alias a stale entry.
+    cache = []  # [grad_object, (dx, dw, db)]
 
     def memo(grad):
-        key = id(grad)
-        if key not in cache:
-            cache.clear()
-            cache[key] = _dense_stack_bwd(grad, w, h_ins, zs, acts, act_grad)
-        return cache[key]
+        if not cache or cache[0] is not grad:
+            cache[:] = [grad,
+                        _dense_stack_bwd(grad, w, h_ins, zs, acts, act_grad)]
+        return cache[1]
 
     def gx(grad):
         return memo(grad)[0]

@@ -188,7 +188,11 @@ class DataParallel:
                 def body(carry, batch):
                     params, opt_state = carry
                     net.bind_params(params)
+                    # fold in step AND data-axis index (mirrors local_step in
+                    # _build) so dropout masks differ across the mesh
                     drop_rng = jax.random.fold_in(base_key, opt_state["t"])
+                    drop_rng = jax.random.fold_in(
+                        drop_rng, jax.lax.axis_index(axis))
                     pred = net.forward(Tensor(batch[0]), rng=drop_rng)
                     loss_t = loss_fn.loss(pred, Tensor(batch[1]))
                     loss_t.backward()
