@@ -117,3 +117,78 @@ def test_dp_loss_is_global_mean():
     dp_loss = float(dp.train_step(x, y))
     ref_loss = float(m_ref.train_step(x, y))
     np.testing.assert_allclose(dp_loss, ref_loss, rtol=1e-5)
+
+
+def test_all_gather_and_psum_scatter_vjps():
+    """all_gather_/psum_scatter_ are dual collectives; check both VJPs
+    against hand-computed cotangent routing on a 4-device mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from tinynn_autograd_tpu import ops
+
+    mesh = make_mesh(4, axis_name="c")
+    c = 2  # local chunk rows
+
+    def f(x_shards, w):
+        # x: [4*c, 3] sharded; per-device chunk -> all_gather -> per-device
+        # DIFFERENT downstream weights (w sharded) -> scalar
+        xt = Tensor(x_shards, requires_grad=True)
+        g = ops.all_gather_(xt, "c")            # [4*c, 3] replicated
+        wt = Tensor(w, requires_grad=True)
+        s = (g * wt).sum()
+        total = ops.psum_(s / 4.0, "c")
+        total.backward()
+        return xt.grad, wt.grad, total.data
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(4 * c, 3).astype(np.float32)
+    w = rng.randn(4, 4 * c, 3).astype(np.float32)  # per-device weight
+
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("c"), P("c")),
+        out_specs=(P("c"), P("c"), P()), check_vma=False))(
+            x, w.reshape(16 * c, 3))
+    dx, dw, total = out
+    # forward: total = mean_d sum(gather(x) * w_d)
+    np.testing.assert_allclose(
+        float(total), np.mean([np.sum(x * w[d]) for d in range(4)]),
+        rtol=1e-5)
+    # dL/dx chunk s = mean over devices of w_d rows of chunk s
+    want_dx = np.mean(w, axis=0) / 1.0
+    # each device's backward saw s/4 -> w_d/4, psum_scatter sums over d
+    np.testing.assert_allclose(np.asarray(dx), np.sum(w, axis=0) / 4.0,
+                               rtol=1e-5, atol=1e-6)
+    del want_dx
+    # dL/dw_d = gather(x)/4 on each device
+    np.testing.assert_allclose(np.asarray(dw).reshape(4, 4 * c, 3),
+                               np.stack([x / 4.0] * 4), rtol=1e-5)
+
+
+def test_psum_scatter_forward_and_vjp():
+    from jax.sharding import PartitionSpec as P
+
+    from tinynn_autograd_tpu import ops
+
+    mesh = make_mesh(4, axis_name="c")
+
+    def f(x_shards):
+        # per-device [8, 2] input (different per device via sharding)
+        xt = Tensor(x_shards, requires_grad=True)
+        sc = ops.psum_scatter_(xt, "c")          # [2, 2] chunk of the sum
+        s = (sc * sc).sum()
+        total = ops.psum_(s, "c")
+        total.backward()
+        return sc.data, xt.grad, total.data
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(4, 8, 2).astype(np.float32)
+
+    sc, dx, total = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("c"),), out_specs=(P("c"), P("c"), P()),
+        check_vma=False))(x.reshape(32, 2))
+    xsum = x.sum(axis=0)                          # [8, 2]
+    np.testing.assert_allclose(np.asarray(sc).reshape(8, 2), xsum, rtol=1e-5)
+    np.testing.assert_allclose(float(total), (xsum * xsum).sum(), rtol=1e-5)
+    # dL/dx_d = 2 * sum (same for every device, laid out full-length)
+    np.testing.assert_allclose(np.asarray(dx).reshape(4, 8, 2),
+                               np.stack([2 * xsum] * 4), rtol=1e-5)

@@ -5,6 +5,7 @@ from tinynn_autograd_tpu.ops import kernels
 from tinynn_autograd_tpu.ops.primitives import (
     abs_,
     add_,
+    all_gather_,
     astype_,
     build_binary_ops_tensor,
     build_unary_ops_tensor,
@@ -30,9 +31,11 @@ from tinynn_autograd_tpu.ops.primitives import (
     mul_,
     neg_,
     pad_,
+    pipeline_scan_,
     pow_,
     ppermute_,
     psum_,
+    psum_scatter_,
     relu_,
     reshape_,
     sigmoid_,

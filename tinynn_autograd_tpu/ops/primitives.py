@@ -784,6 +784,125 @@ def _dense_stack_bwd(grad, w, h_ins, zs, acts, act_grad):
     return dx, dw, db
 
 
+def pipeline_scan_(ts_h0, ts_w, ts_b, axis_name, n_stages, microbatches,
+                   activation="relu"):
+    """The GPipe tick loop as ONE tape primitive (SPMD, inside shard_map).
+
+    Forward: ``lax.scan`` over the T = M+S-1 ticks — compile time is
+    independent of the microbatch count M (the round-1 version Python-
+    unrolled the ticks into the trace). Per tick, each device runs ONLY its
+    own k-layer stage slice (w:[k,W,W], b:[k,1,W] local) on its current
+    activation and hands the result to the next stage over ``ppermute``;
+    the first stage reads microbatch ``t`` from ``h0`` ([M, mb, W],
+    replicated) instead of the ring. Per-tick FLOPs = one stage's work —
+    no proj/head/loss compute in the loop at all (callers batch those
+    outside, see parallel/pipeline_parallel.py).
+
+    Returns out [M, mb, W]: the last stage's outputs in microbatch order
+    (garbage on other devices — callers mask by ``idx == S-1``).
+
+    Backward is the hand-written reverse scan: cotangents re-cross the same
+    ppermute links in the inverse direction with the same tick alignment,
+    so the backward pipeline falls out of this single VJP — no separate
+    backward schedule exists anywhere. Bubble slots carry exact zeros in
+    both directions (forward consumes zero-init carries; backward's direct
+    cotangent rows are zero-padded), so no gradient flows through them.
+    No jax.grad anywhere; this is a tape edge like every other primitive.
+    """
+    act_fn, act_grad = _STACK_ACTS[activation]
+    h0, w, b = ts_h0.data, ts_w.data, ts_b.data
+    S, M = int(n_stages), int(microbatches)
+    T = M + S - 1
+    ring = [(i, (i + 1) % S) for i in range(S)]
+    inv_ring = [(d, s) for (s, d) in ring]
+    idx = jax.lax.axis_index(axis_name)
+    is_first = (idx == 0)
+    mb, width = h0.shape[1], h0.shape[2]
+
+    def fwd_body(h_carry, t):
+        # first stage consumes proj output t; others consume the ring carry
+        x_in = jnp.where(is_first, h0[jnp.clip(t, 0, M - 1)], h_carry)
+
+        def layer(h, wb):
+            wl, bl = wb
+            z = kernels.matmul(h, wl) + bl
+            a = act_fn(z)
+            return a, (h, z, a)
+
+        h_out, saved = jax.lax.scan(layer, x_in, (w, b))
+        h_next = jax.lax.ppermute(h_out, axis_name, ring)
+        return h_next, (h_out, saved)
+
+    _, (h_outs, saved) = jax.lax.scan(
+        fwd_body, jnp.zeros((mb, width), h0.dtype), jnp.arange(T))
+    out = h_outs[S - 1:]
+    h_ins, zs, acts = saved  # each [T, k, mb, width]
+
+    # same single-backward memo discipline as dense_stack_: strong ref +
+    # identity compare, recompute on a fresh cotangent object
+    cache = []
+
+    def bwd(grad):
+        # direct cotangent per tick: out row m was emitted at tick m+S-1
+        d_direct = jnp.concatenate(
+            [jnp.zeros((S - 1, mb, width), grad.dtype), grad], axis=0)
+
+        def bwd_body(dh_carry, tick):
+            d_out_t, h_ins_t, zs_t, acts_t = tick
+            # adjoint of h_next = ppermute(h_out): the next tick's carry
+            # cotangent crosses the same link in reverse
+            dh_out = jax.lax.ppermute(
+                dh_carry, axis_name, inv_ring) + d_out_t
+
+            def layer_bwd(dh, layer):
+                wl, h_in, z, a = layer
+                dz = dh * act_grad(z, a)
+                dwl = kernels.matmul(h_in.T, dz)
+                dbl = dz.sum(axis=0, keepdims=True)
+                dh_prev = kernels.matmul(dz, wl.T)
+                return dh_prev, (dwl, dbl)
+
+            dx_in, (dw_t, db_t) = jax.lax.scan(
+                layer_bwd, dh_out, (w, h_ins_t, zs_t, acts_t), reverse=True)
+            # adjoint of the x_in select: first stage's input came from h0,
+            # everyone else's from the carry
+            d_h0_row = jnp.where(is_first, dx_in, jnp.zeros_like(dx_in))
+            dh_carry_prev = jnp.where(is_first, jnp.zeros_like(dx_in), dx_in)
+            return dh_carry_prev, (d_h0_row, dw_t, db_t)
+
+        _, (d_h0_rows, dw_ts, db_ts) = jax.lax.scan(
+            bwd_body, jnp.zeros((mb, width), grad.dtype),
+            (d_direct, h_ins, zs, acts), reverse=True)
+        # ticks 0..M-1 map 1:1 onto h0 rows; ticks >= M are first-stage
+        # bubbles whose cotangent is exactly zero (alignment above)
+        return d_h0_rows[:M], dw_ts.sum(axis=0), db_ts.sum(axis=0)
+
+    def memo(grad):
+        if not cache or cache[0] is not grad:
+            cache[:] = [grad, bwd(grad)]
+        return cache[1]
+
+    def gh0(grad):
+        return memo(grad)[0]
+
+    def gw(grad):
+        return memo(grad)[1]
+
+    def gb(grad):
+        return memo(grad)[2]
+
+    requires_grad = (ts_h0.requires_grad or ts_w.requires_grad
+                     or ts_b.requires_grad)
+    dependency = []
+    if ts_h0.requires_grad:
+        dependency.append((ts_h0, gh0))
+    if ts_w.requires_grad:
+        dependency.append((ts_w, gw))
+    if ts_b.requires_grad:
+        dependency.append((ts_b, gb))
+    return ts_h0.__class__(out, requires_grad, dependency)
+
+
 # --------------------------------------------------------------------------
 # collective primitives (valid inside shard_map regions)
 # --------------------------------------------------------------------------
@@ -799,6 +918,42 @@ def psum_(ts, axis_name):
 
     def grad_fn(grad):
         return grad
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def all_gather_(ts, axis_name):
+    """Tiled all-gather over a mesh axis as a tape primitive: local [c, ...]
+    chunks concatenate (in axis-index order) to a replicated [S*c, ...].
+
+    VJP is the dual collective, reduce-scatter: every device's cotangent
+    chunk s belongs to device s, so each device receives the psum of its own
+    chunk — ``lax.psum_scatter``. (With per-device DIFFERENT downstream
+    compute — e.g. microbatch-sharded segments — this is the mathematically
+    correct adjoint; an identity VJP would drop other devices' cotangents.)
+    """
+    values = jax.lax.all_gather(ts.data, axis_name=axis_name, tiled=True)
+
+    def grad_fn(grad):
+        return jax.lax.psum_scatter(grad, axis_name=axis_name,
+                                    scatter_dimension=0, tiled=True)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def psum_scatter_(ts, axis_name):
+    """Tiled reduce-scatter over a mesh axis as a tape primitive: [S*c, ...]
+    per-device inputs are summed elementwise across devices and device s
+    keeps chunk s of the sum ([c, ...]).
+
+    VJP is the dual collective, all-gather: input chunk s (on every device)
+    contributed only to device s's output, so its cotangent is device s's —
+    gathered back into the full-length layout."""
+    values = jax.lax.psum_scatter(ts.data, axis_name=axis_name,
+                                  scatter_dimension=0, tiled=True)
+
+    def grad_fn(grad):
+        return jax.lax.all_gather(grad, axis_name=axis_name, tiled=True)
 
     return build_unary_ops_tensor(ts, grad_fn, values)
 

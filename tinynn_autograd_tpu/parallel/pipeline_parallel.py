@@ -3,26 +3,35 @@
 The deep-MLP body is partitioned into S contiguous stages, one per mesh
 device; microbatches flow through the pipeline with activations handed to
 the next stage by ``ppermute`` over ICI. The key design point: NO separate
-backward schedule is written. ``ppermute`` and ``psum`` are tape primitives
-with hand VJPs (ops/primitives.py), so the ordinary reverse tape walk
-re-routes every cotangent across the same links in reverse — the backward
-pipeline falls out of the autodiff.
+backward schedule is written. The whole tick loop is a single tape
+primitive (``ops.pipeline_scan_``) whose hand VJP is the mirrored reverse
+scan — cotangents re-cross the same ppermute links in reverse — and the
+collectives around it (``psum_``, ``all_gather_``, ``psum_scatter_``) are
+tape primitives too, so the ordinary reverse tape walk generates the whole
+backward pipeline.
 
 SPMD layout
 -----------
 - body weights: stacked [S, k, W, W] (k layers per stage), sharded on the
   leading stage axis -> each device holds its own stage slice;
-- input projection + classifier head: replicated; their compute is masked
-  to the first/last stage, so their gradients live on one device and are
-  psum-replicated before the optimizer;
-- schedule: ticks t = 0 .. M+S-2; at tick t device s works on microbatch
-  t-s (bubble positions compute on zeros and are masked out of the loss, so
-  no gradient flows through them);
-- loss: sum of per-microbatch losses on the last stage, psum-broadcast.
+- input projection + classifier head: replicated params. Their COMPUTE is
+  hoisted out of the tick loop entirely and batched over all M microbatches
+  at once; when M divides by S it is additionally sharded over the mesh —
+  each device projects M/S microbatches (``all_gather_`` reassembles the
+  pipeline input) and classifies M/S outputs (``psum_scatter_`` deals each
+  device its slice of the last stage's outputs). The round-1 version
+  recomputed proj EVERY tick on EVERY stage and head+loss every output
+  tick; both redundancies are gone.
+- schedule: ticks t = 0 .. M+S-2 inside ONE ``lax.scan`` (compile time
+  independent of M; round 1 Python-unrolled the ticks). At tick t device s
+  works on microbatch t-s; bubble slots carry exact zeros and contribute
+  zero gradient.
+- loss: mean over all M*mb rows (= the single-device full-batch loss),
+  psum-replicated.
 
-Scope (round 1): uniform Dense/activation bodies (the deep-MLP family,
+Scope: uniform Dense(+ReLU/Tanh/Sigmoid) bodies (the deep-MLP family,
 driver config #3); microbatch count M >= S recommended to keep bubbles
-small.
+small, M a multiple of S to enable the sharded proj/head path.
 """
 
 import numpy as np
@@ -35,6 +44,8 @@ import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
 from tinynn_autograd_tpu.nn.layers import Activation, Dense
 from tinynn_autograd_tpu.parallel.mesh import make_mesh
+
+_ACT_NAMES = {"ReLU": "relu", "Tanh": "tanh", "Sigmoid": "sigmoid"}
 
 
 class PipelineParallel:
@@ -69,8 +80,9 @@ class PipelineParallel:
         """Split net.layers into (proj_layers, body groups, head_layers).
 
         body = the square (W x W) Dense layers between the first and last
-        Dense, each carrying its trailing activation layers; must divide
-        evenly into n_stages stages.
+        Dense, each carrying its trailing activation layer; must divide
+        evenly into n_stages stages and share ONE activation kind (the tick
+        scan stacks the layers, so the act must be uniform).
         """
         layers = self.net.layers
         dense_idx = [i for i, l in enumerate(layers) if isinstance(l, Dense)]
@@ -101,14 +113,30 @@ class PipelineParallel:
             raise ValueError(
                 "%d body layers don't divide into %d stages"
                 % (len(body_units), self.n_stages))
-        return proj, body_units, head, w_shape[0]
+
+        act_names = set()
+        for u in body_units:
+            acts = u[1:]
+            if len(acts) > 1:
+                raise ValueError("at most one activation per body Dense")
+            if not acts:
+                act_names.add("linear")
+            elif acts[0].name in _ACT_NAMES:
+                act_names.add(_ACT_NAMES[acts[0].name])
+            else:
+                raise ValueError(
+                    "body activation %s not supported in the pipeline tick "
+                    "scan (ReLU/Tanh/Sigmoid)" % acts[0].name)
+        if len(act_names) != 1:
+            raise ValueError("body activations must be uniform, got %s"
+                             % act_names)
+        return proj, body_units, head, w_shape[0], act_names.pop()
 
     def _shard_params(self):
-        proj, body_units, head, width = self._partition()
+        proj, body_units, head, width, act_name = self._partition()
         self._proj_layers = proj
         self._head_layers = head
-        self._acts_per_unit = [u[1:] for u in body_units[: len(body_units)
-                                                         // self.n_stages]]
+        self._act_name = act_name
         k = len(body_units) // self.n_stages
 
         def stacked(name):
@@ -154,18 +182,18 @@ class PipelineParallel:
                 h = layer.forward(h)
         return h, tensors
 
-    def _build(self, mb_size):
+    def _build(self, mb_size, feat, n_out):
         loss_fn = self.model.loss
         optimizer = self.model.optimizer
         axis = self.axis_name
         S = self.n_stages
         M = self.microbatches
-        k = self._k
         width = self._width
-        acts_per_unit = self._acts_per_unit
+        act_name = self._act_name
         proj_layers = self._proj_layers
         head_layers = self._head_layers
-        ring = [(i, (i + 1) % S) for i in range(S)]
+        shard_mb = (M % S == 0)   # shard proj/head compute over microbatches
+        Ms = M // S if shard_mb else M
 
         def local_step(params, opt_state, x, y):
             # local stage slice [1, k, W, W] -> Tensors carrying the tape
@@ -173,59 +201,61 @@ class PipelineParallel:
             body_b = Tensor(params["body"]["b"][0], requires_grad=True)
 
             idx = jax.lax.axis_index(axis)
-            is_first = (idx == 0)
             is_last = (idx == S - 1)
 
-            def stage(h):
-                for j in range(k):
-                    h = h @ body_w[j] + body_b[j]
-                    for act in acts_per_unit[j]:
-                        h = act.forward(h)
-                return h
+            # ---- proj: ONE batched matmul over all (local) microbatches,
+            # hoisted out of the tick loop; sharded over the mesh when M%S==0
+            if shard_mb:
+                x_loc = jax.lax.dynamic_slice_in_dim(x, idx * Ms, Ms, 0)
+            else:
+                x_loc = x
+            x_flat = x_loc.reshape((Ms * mb_size, feat))
+            h_flat, proj_tensors = self._run_segment(
+                proj_layers, params["proj"], Tensor(x_flat))
+            if shard_mb:
+                h_flat = ops.all_gather_(h_flat, axis)  # [M*mb, W] replicated
+            h0 = h_flat.reshape((M, mb_size, width))
 
-            h_carry = Tensor(jnp.zeros((mb_size, width), jnp.float32))
-            loss_total = None
-            proj_tensors = head_tensors = None
+            # ---- the pipeline: one scan primitive, backward by its VJP
+            out = ops.pipeline_scan_(h0, body_w, body_b, axis, S, M,
+                                     activation=act_name)
 
-            for t in range(M + S - 1):
-                x_mb = x[min(t, M - 1)]
-                h0, ptens = self._run_segment(
-                    proj_layers, params["proj"], Tensor(x_mb))
-                if proj_tensors is None:
-                    proj_tensors = []
-                proj_tensors.append(ptens)
-                h_in = ops.where(is_first, h0, h_carry)
-                h_out = stage(h_in)
-
-                m_out = t - (S - 1)
-                if 0 <= m_out < M:
-                    logits, htens = self._run_segment(
-                        head_layers, params["head"], h_out)
-                    if head_tensors is None:
-                        head_tensors = []
-                    head_tensors.append(htens)
-                    per = loss_fn.loss(logits, Tensor(y[m_out]))
-                    masked = ops.where(is_last, per,
-                                       Tensor(jnp.zeros((), jnp.float32)))
-                    loss_total = masked if loss_total is None \
-                        else loss_total + masked
-
-                if t < M + S - 2:
-                    h_carry = ops.ppermute_(h_out, axis, ring)
-
-            loss_mean = loss_total / M
-            loss_rep = ops.psum_(loss_mean, axis)  # nonzero on last stage only
+            # ---- head + loss: batched over microbatches, outside the loop.
+            # Only the last stage's outputs are real; mask the rest so no
+            # gradient flows through garbage rows.
+            masked = ops.where(is_last, out,
+                               Tensor(jnp.zeros_like(out.data)))
+            if shard_mb:
+                # deal each device its M/S slice of the REAL outputs
+                out_loc = ops.psum_scatter_(masked, axis)   # [Ms, mb, W]
+                y_loc = jax.lax.dynamic_slice_in_dim(y, idx * Ms, Ms, 0)
+                logits, head_tensors = self._run_segment(
+                    head_layers, params["head"],
+                    out_loc.reshape((Ms * mb_size, width)))
+                per = loss_fn.loss(logits,
+                                   Tensor(y_loc.reshape((Ms * mb_size,
+                                                         n_out))))
+                # mean of per-chunk means == global mean (equal chunks)
+                loss_rep = ops.psum_(per / S, axis)
+            else:
+                logits, head_tensors = self._run_segment(
+                    head_layers, params["head"],
+                    masked.reshape((M * mb_size, width)))
+                per = loss_fn.loss(logits,
+                                   Tensor(y.reshape((M * mb_size, n_out))))
+                masked_loss = ops.where(is_last, per,
+                                        Tensor(jnp.zeros((), jnp.float32)))
+                loss_rep = ops.psum_(masked_loss, axis)
             loss_rep.backward()
 
-            def seg_grads(tensor_list, seg_params):
-                # sum tape grads over all ticks; replicate via psum (each
-                # segment's compute is masked to one stage)
+            def seg_grads(tensors, seg_params):
+                # psum makes the per-device partial grads total AND
+                # replicated: sharded-mb chunks sum to the full-batch grad;
+                # in the masked path only one device's grads are nonzero
                 out = {}
                 for i in seg_params:
-                    gw = sum(t[i]["w"].grad for t in tensor_list)
-                    gb = sum(t[i]["b"].grad for t in tensor_list)
-                    out[i] = {"w": jax.lax.psum(gw, axis),
-                              "b": jax.lax.psum(gb, axis)}
+                    out[i] = {"w": jax.lax.psum(tensors[i]["w"].grad, axis),
+                              "b": jax.lax.psum(tensors[i]["b"].grad, axis)}
                 return out
 
             grads = {
@@ -283,7 +313,7 @@ class PipelineParallel:
             self._opt_state = self.model.optimizer.init_state(self._params)
         if self._step_fn is None:
             self.net.set_phase("TRAIN")
-            self._step_fn = self._build(mb)
+            self._step_fn = self._build(mb, x.shape[1], y.shape[1])
 
         rep = NamedSharding(self.mesh, P())
         xm = jax.device_put(xm, rep)
