@@ -1,0 +1,124 @@
+"""HBM weight-streaming step kernels (ops/streaming_epoch.py), run in
+Pallas interpret mode on CPU: must match the scanned-epoch path numerically
+for every optimizer family, since the backward kernel re-traces the same
+per-leaf update rule (optimizer._step_leaf) the scanned path uses."""
+
+import numpy as np
+import pytest
+
+from tinynn_autograd_tpu.models import build_deep_mlp
+from tinynn_autograd_tpu.nn.layers import Dense, DenseStack, Dropout, ReLU
+from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+from tinynn_autograd_tpu.nn.model import Model
+from tinynn_autograd_tpu.nn.net import Net
+from tinynn_autograd_tpu.nn.optimizer import (
+    Adadelta, Adagrad, Adam, Momentum, RMSProp, SGD,
+)
+from tinynn_autograd_tpu.ops import streaming_epoch
+from tinynn_autograd_tpu.utils.seeder import random_seed
+
+
+def _data(n=128, feat=64, classes=10):
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, feat).astype(np.float32)
+    y = np.eye(classes, dtype=np.float32)[rng.randint(0, classes, n)]
+    return x, y
+
+
+def _model(opt, depth=6, width=128, act="relu"):
+    random_seed(3)
+    net = Net([
+        Dense(width, num_in=64), ReLU(),
+        DenseStack(depth, width=width, activation=act),
+        Dense(10, num_in=width),
+    ])
+    return Model(net, SoftmaxCrossEntropyLoss(), opt)
+
+
+@pytest.mark.parametrize("opt_f", [
+    lambda: SGD(0.05),
+    lambda: Momentum(0.01),
+    lambda: Adam(lr=1e-3),
+    lambda: Adam(lr=1e-3, weight_decay=1e-4),
+    lambda: RMSProp(1e-3),
+    lambda: Adagrad(0.05),
+    lambda: Adadelta(1.0),
+])
+def test_streaming_matches_scanned(opt_f):
+    x, y = _data()
+    m_s = _model(opt_f())
+    m_r = _model(opt_f())
+    for _ in range(3):
+        ls = np.asarray(m_s.train_epoch(x, y, batch_size=32, shuffle=False,
+                                        fused="stream"))
+        lr = np.asarray(m_r.train_epoch(x, y, batch_size=32, shuffle=False,
+                                        fused=False))
+        np.testing.assert_allclose(ls, lr, rtol=2e-4, atol=1e-6)
+
+
+def test_streaming_tanh_body_and_multi_epoch():
+    x, y = _data()
+    m_s = _model(Adam(1e-3), act="tanh")
+    m_r = _model(Adam(1e-3), act="tanh")
+    ls = np.asarray(m_s.train_epochs(x, y, n_epochs=3, batch_size=32,
+                                     shuffle=False, fused="stream"))
+    lr = np.asarray(m_r.train_epochs(x, y, n_epochs=3, batch_size=32,
+                                     shuffle=False, fused=False))
+    assert ls.shape == (3, 4)
+    np.testing.assert_allclose(ls, lr, rtol=2e-4, atol=1e-6)
+    # and it actually trains
+    assert ls[-1].mean() < ls[0].mean()
+
+
+def test_streaming_nonuniform_block_sizes():
+    # depth=5 is prime vs typical block divisors: exercises C=1/C=5 picks
+    x, y = _data()
+    m_s = _model(Adam(1e-3), depth=5)
+    m_r = _model(Adam(1e-3), depth=5)
+    ls = np.asarray(m_s.train_epoch(x, y, batch_size=64, shuffle=False,
+                                    fused="stream"))
+    lr = np.asarray(m_r.train_epoch(x, y, batch_size=64, shuffle=False,
+                                    fused=False))
+    np.testing.assert_allclose(ls, lr, rtol=2e-4, atol=1e-6)
+
+
+def test_streaming_supports_eligibility():
+    opt = Adam(1e-3)
+    ok = Net([Dense(128, num_in=64), ReLU(),
+              DenseStack(4, width=128), Dense(10, num_in=128)])
+    assert streaming_epoch.supports(ok, None, opt)
+
+    # no DenseStack
+    assert not streaming_epoch.supports(
+        Net([Dense(128, num_in=64), ReLU(), Dense(10, num_in=128)]),
+        None, opt)
+    # two stacks
+    assert not streaming_epoch.supports(
+        Net([DenseStack(2, width=128), DenseStack(2, width=128)]),
+        None, opt)
+    # width not MXU-tileable
+    assert not streaming_epoch.supports(
+        Net([Dense(100, num_in=64), DenseStack(4, width=100),
+             Dense(10, num_in=100)]), None, opt)
+    # unsupported companion layer
+    assert not streaming_epoch.supports(
+        Net([Dense(128, num_in=64), Dropout(0.5),
+             DenseStack(4, width=128), Dense(10, num_in=128)]),
+        None, opt)
+
+
+def test_streaming_via_deep_mlp_builder():
+    x, y = _data(feat=64)
+    random_seed(5)
+    m_s = Model(build_deep_mlp(num_in=64, depth=8, width=128, num_out=10,
+                               stacked=True),
+                SoftmaxCrossEntropyLoss(), SGD(0.05))
+    random_seed(5)
+    m_r = Model(build_deep_mlp(num_in=64, depth=8, width=128, num_out=10,
+                               stacked=True),
+                SoftmaxCrossEntropyLoss(), SGD(0.05))
+    ls = np.asarray(m_s.train_epoch(x, y, batch_size=32, shuffle=False,
+                                    fused="stream"))
+    lr = np.asarray(m_r.train_epoch(x, y, batch_size=32, shuffle=False,
+                                    fused=False))
+    np.testing.assert_allclose(ls, lr, rtol=2e-4, atol=1e-6)

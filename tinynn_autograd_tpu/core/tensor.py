@@ -327,7 +327,10 @@ class Tensor:
         if grad is None:
             seed = jnp.ones(self.shape, dtype=gdtype)
         else:
-            seed = jnp.broadcast_to(jnp.asarray(grad, dtype=gdtype), self.shape)
+            if isinstance(grad, Tensor):
+                grad = grad.data  # unwrap (works on traced payloads too)
+            seed = jnp.broadcast_to(
+                jnp.asarray(grad).astype(gdtype), self.shape)
 
         order = _topo_order(self)
         cotangents = {id(self): seed}

@@ -164,11 +164,13 @@ class Model:
         one launch per epoch. The ragged tail (n % batch_size) is dropped,
         like BatchIterator(drop_last=True).
 
-        ``fused``: "auto" additionally promotes eligible models (stateless
-        layer stack, params fit in VMEM, TPU backend) to the fused-epoch
-        Pallas megakernel — params pinned in VMEM across all steps, batches
-        streamed (see ops/fused_epoch.py). True forces it (interpret mode
-        off-TPU, for tests); False sticks to the scanned epoch.
+        ``fused``: "auto" additionally promotes eligible models to a Pallas
+        regime on TPU — the fused-epoch megakernel (params pinned in VMEM
+        across all steps, ops/fused_epoch.py) when they fit, else the HBM
+        weight-streaming step kernels for big DenseStack bodies
+        (ops/streaming_epoch.py). True forces the megakernel and "stream"
+        forces the streaming step (both interpret off-TPU, for tests);
+        False sticks to the scanned epoch.
 
         Returns the per-step loss trace as a device array [n_steps].
         """
@@ -198,11 +200,27 @@ class Model:
                 "(the ragged tail is dropped; nothing would train)"
                 % (n, batch_size))
 
-        use_fused = fused is True or (fused == "auto" and self._fused_ok())
-        interpret = fused is True and jax.default_backend() != "tpu"
+        # pick the epoch-body kind: "mega" (whole-epoch VMEM megakernel),
+        # "stream" (HBM weight-streaming kernels for bodies too big for
+        # VMEM), or "scan" (plain lax.scan of the fused step)
+        if fused is True:
+            kind = "mega"
+        elif fused == "stream":
+            kind = "stream"
+        elif fused == "auto":
+            if self._fused_ok():
+                kind = "mega"
+            elif self._stream_ok():
+                kind = "stream"
+            else:
+                kind = "scan"
+        else:
+            kind = "scan"
+        interpret = (fused in (True, "stream")
+                     and jax.default_backend() != "tpu")
         rng = seeder.next_key()
 
-        def compiled_runner(fused_flag):
+        def compiled_runner(kind_flag):
             """AOT lower + compile the n-epoch runner (cached per config).
 
             Compiling ahead of time means megakernel build/lowering failures
@@ -212,12 +230,12 @@ class Model:
             caller instead of being misreported as 'megakernel unavailable'.
             """
             key = ("train_epochs", n_epochs, batch_size, bool(shuffle), n,
-                   fused_flag, interpret)
+                   kind_flag, interpret)
             if key not in self._jitted:
                 self.net.set_phase("TRAIN")
                 epoch_body = self._make_epoch_body(
                     n, n_steps, batch_size, shuffle,
-                    x_all.shape[1:], y_all.shape[1:], fused_flag, interpret)
+                    x_all.shape[1:], y_all.shape[1:], kind_flag, interpret)
 
                 def runner(params, opt_state, xs, ys, rng):
                     def body(carry, ekey):
@@ -237,24 +255,25 @@ class Model:
                     .compile())
             return self._jitted[key]
 
-        if use_fused:
+        run = None
+        if kind in ("mega", "stream"):
             try:
-                run = compiled_runner(True)
+                run = compiled_runner(kind)
             except Exception as e:
-                if fused is True:
+                if fused in (True, "stream"):
                     raise
-                # fused megakernel failed to build/compile on this config:
+                # fused kernel failed to build/compile on this config:
                 # fall back to the scanned epoch (correct, somewhat slower)
                 import warnings
 
                 warnings.warn(
-                    "fused-epoch megakernel failed to build/compile "
-                    "(%s: %s); falling back to the scanned epoch"
-                    % (type(e).__name__, e), RuntimeWarning)
+                    "fused %s epoch failed to build/compile (%s: %s); "
+                    "falling back to the scanned epoch"
+                    % (kind, type(e).__name__, e), RuntimeWarning)
                 self._fused_broken = True
-                use_fused = False
-        if not use_fused:
-            run = compiled_runner(False)
+                kind = "scan"
+        if run is None:
+            run = compiled_runner("scan")
 
         self._params, self._opt_state, losses = run(
             self._params, self._opt_state, x_all, y_all, rng)
@@ -263,10 +282,12 @@ class Model:
         return losses
 
     def _make_epoch_body(self, n, n_steps, batch_size, shuffle,
-                         feat_shape, label_feat_shape, use_fused, interpret):
+                         feat_shape, label_feat_shape, kind, interpret):
         """Pure fn(params, opt_state, xs, ys, rng) -> (params, opt_state,
-        losses[n_steps]): on-device shuffle + either the fused VMEM Pallas
-        megakernel (ops/fused_epoch.py) or a lax.scan of the fused step."""
+        losses[n_steps]): on-device shuffle + one of three step regimes:
+        the fused VMEM Pallas megakernel ("mega", ops/fused_epoch.py), the
+        HBM weight-streaming kernels ("stream", ops/streaming_epoch.py)
+        scanned over steps, or a lax.scan of the plain fused step."""
         batch_shape = (batch_size,) + tuple(feat_shape)
         label_shape = (batch_size,) + tuple(label_feat_shape)
 
@@ -279,7 +300,7 @@ class Model:
             yb = ys[perm].reshape((n_steps,) + label_shape)
             return xb, yb
 
-        if use_fused:
+        if kind == "mega":
             from tinynn_autograd_tpu.ops import fused_epoch
 
             leaves, treedef = jax.tree.flatten(self._params)
@@ -312,7 +333,13 @@ class Model:
 
             return epoch_body
 
-        step_fn = self._step_core()
+        if kind == "stream":
+            from tinynn_autograd_tpu.ops import streaming_epoch
+
+            step_fn = streaming_epoch.build_streaming_step(
+                self.net, self.loss, self.optimizer, interpret=interpret)
+        else:
+            step_fn = self._step_core()
 
         def epoch_body(params, opt_state, xs, ys, rng):
             xb, yb = gather(xs, ys, rng)
@@ -339,6 +366,16 @@ class Model:
         if jax.default_backend() != "tpu":
             return False
         return fused_epoch.supports(
+            self.net, self._params, self.optimizer)
+
+    def _stream_ok(self):
+        from tinynn_autograd_tpu.ops import streaming_epoch
+
+        if getattr(self, "_fused_broken", False):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        return streaming_epoch.supports(
             self.net, self._params, self.optimizer)
 
     def fit(self, x, y, epochs=1, batch_size=128, shuffle=True,
