@@ -263,16 +263,13 @@ class MaxPool2D(Layer):
 
     def forward(self, inputs):
         n, h, w, c = inputs.shape
-        kh, kw = self.pool_size
-        sh, sw = self.stride
         pad_h, pad_w, oh, ow = self._geometry(h, w)
         x = inputs
         if pad_h != (0, 0) or pad_w != (0, 0):
             # pad with -inf so padding never wins the max
             x = ops.pad(x, [(0, 0), pad_h, pad_w, (0, 0)],
                         constant_values=-np.inf)
-        patches = _window_patches(x, n, oh, ow, kh, kw, sh, sw)
-        return ops.max_(patches, axis=3)
+        return ops.maxpool2d_(x, self.pool_size, self.stride)
 
 
 class Flatten(Layer):

@@ -25,6 +25,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     log_softmax_,
     max_,
     maximum_,
+    maxpool2d_,
     mean_,
     min_,
     minimum_,

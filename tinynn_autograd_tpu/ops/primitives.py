@@ -703,6 +703,59 @@ def conv2d_(ts_x, ts_w, stride, padding):
     return build_binary_ops_tensor(ts_x, ts_w, grad_fn_x, grad_fn_w, values)
 
 
+def maxpool2d_(ts, pool, stride):
+    """2-D max pooling over NHWC as a tree of maxima over the KH*KW strided
+    window slices — no patch-stack materialization (a [N,OH,OW,KH*KW,C]
+    concat forces a lane-padded 5-D layout on TPU, ~8x physical blowup at
+    C=16).
+
+    Tie semantics match the framework's reduce-max (and the reference's,
+    reference: core/ops.py:225-230): EVERY element equal to the window max
+    receives the full incoming gradient — the VJP masks each window slice
+    against the pooled output independently and scatter-adds.
+    """
+    kh, kw = pool
+    sh, sw = stride
+    x = ts.data
+    n, h, w, c = x.shape
+    oh = (h - kh) // sh + 1
+    ow = (w - kw) // sw + 1
+
+    def window(i, j):
+        return x[:, i:i + sh * (oh - 1) + 1:sh, j:j + sw * (ow - 1) + 1:sw, :]
+
+    # forward: one fused windowed-reduce kernel (identical to the max-tree
+    # over the window slices, which the VJP masks against)
+    values = jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min,
+        jax.lax.max, (1, kh, kw, 1), (1, sh, sw, 1), "VALID")
+
+    def grad_fn(grad):
+        masked = [[grad * (window(i, j) == values) for j in range(kw)]
+                  for i in range(kh)]
+        if kh == sh and kw == sw:
+            # classic non-overlapping pooling: every input cell belongs to
+            # exactly one window position, so the cotangent is a pure
+            # interleave — two stacks + one reshape instead of KH*KW
+            # strided scatter-adds (scatters are the slow path on TPU)
+            rows = [jnp.stack(r, axis=3) for r in masked]  # [N,OH,OW,kw,C]
+            g = jnp.stack(rows, axis=2)                    # [N,OH,kh,OW,kw,C]
+            g = g.reshape(n, oh * kh, ow * kw, c)
+            if oh * kh != h or ow * kw != w:  # pool-dropped remainder rows
+                g = jnp.pad(g, ((0, 0), (0, h - oh * kh),
+                                (0, w - ow * kw), (0, 0)))
+            return g
+        dx = jnp.zeros_like(x)
+        for i in range(kh):
+            for j in range(kw):
+                dx = dx.at[:, i:i + sh * (oh - 1) + 1:sh,
+                           j:j + sw * (ow - 1) + 1:sw, :].add(masked[i][j])
+        return dx
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
 _STACK_ACTS = {
     "relu": (lambda z: jnp.maximum(z, 0.0), lambda z, a: (z >= 0.0)),
     "tanh": (jnp.tanh, lambda z, a: 1.0 - a * a),
