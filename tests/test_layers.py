@@ -11,6 +11,10 @@ from tinynn_autograd_tpu.nn.layers import (
     Conv2D, Dense, Dropout, Flatten, GELU, LeakyReLU, MaxPool2D, ReLU,
     Sigmoid, Softplus, Tanh,
 )
+from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+from tinynn_autograd_tpu.nn.model import Model
+from tinynn_autograd_tpu.nn.net import Net
+from tinynn_autograd_tpu.nn.optimizer import Adam
 from tinynn_autograd_tpu.utils.seeder import random_seed
 
 
@@ -265,3 +269,131 @@ def test_shape_inference_chain():
     # conv1 kernel materialized with inferred C_in
     assert tuple(net.layers[0].params["w"].shape) == (3, 3, 1, 16)
     assert tuple(net.layers[7].params["w"].shape) == (7 * 7 * 32, 128)
+
+
+def test_layer_norm_forward_and_grads_vs_numpy_oracle():
+    from tinynn_autograd_tpu.nn.layers import LayerNorm
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 12).astype(np.float32) * 2.0 + 0.5
+    g = rng.randn(8, 12).astype(np.float32)
+    gamma = rng.randn(12).astype(np.float32)
+    beta = rng.randn(12).astype(np.float32)
+    eps = 1e-5
+
+    ln = LayerNorm(dim=12)
+    ln.params["gamma"] = Tensor(gamma, requires_grad=True)
+    ln.params["beta"] = Tensor(beta, requires_grad=True)
+    xt = Tensor(x, requires_grad=True)
+    out = ln.forward(xt)
+    out.backward(Tensor(g))
+
+    # float64 oracle
+    x64, g64 = x.astype(np.float64), g.astype(np.float64)
+    mu = x64.mean(-1, keepdims=True)
+    var = ((x64 - mu) ** 2).mean(-1, keepdims=True)
+    std = np.sqrt(var + eps)
+    xhat = (x64 - mu) / std
+    want_y = xhat * gamma + beta
+    gg = g64 * gamma
+    want_dx = (gg - gg.mean(-1, keepdims=True)
+               - xhat * (gg * xhat).mean(-1, keepdims=True)) / std
+    np.testing.assert_allclose(np.asarray(out.data), want_y,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xt.grad), want_dx,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ln.params["gamma"].grad),
+                               (g64 * xhat).sum(0), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ln.params["beta"].grad),
+                               g64.sum(0), rtol=1e-5, atol=1e-6)
+    # normalized rows: zero mean, unit variance before affine
+    np.testing.assert_allclose(xhat.mean(-1), 0.0, atol=1e-7)
+
+
+def test_layer_norm_lazy_init_and_training():
+    from tinynn_autograd_tpu.nn.layers import LayerNorm
+
+    random_seed(4)
+    net = Net([Dense(32, num_in=16), LayerNorm(), ReLU(),
+               Dense(4, num_in=32)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 16).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 64)]
+    assert not net.layers[1].is_init
+    losses = [float(model.train_step(x, y)) for _ in range(40)]
+    assert net.layers[1].is_init
+    assert tuple(net.layers[1].params["gamma"].shape) == (32,)
+    assert losses[-1] < losses[0] * 0.6
+
+    # scanned-epoch path too
+    losses2 = np.asarray(model.train_epoch(x, y, batch_size=32,
+                                           shuffle=False, fused=False))
+    assert np.isfinite(losses2).all()
+
+
+def test_batch_norm_grads_vs_numpy_oracle():
+    from tinynn_autograd_tpu.nn.layers import BatchNorm
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(16, 6).astype(np.float32) * 3.0 - 1.0
+    g = rng.randn(16, 6).astype(np.float32)
+    gamma = rng.randn(6).astype(np.float32)
+    beta = rng.randn(6).astype(np.float32)
+    eps = 1e-5
+
+    bn = BatchNorm(dim=6)
+    bn.params["gamma"] = Tensor(gamma, requires_grad=True)
+    bn.params["beta"] = Tensor(beta, requires_grad=True)
+    xt = Tensor(x, requires_grad=True)
+    out = bn.forward(xt)
+    out.backward(Tensor(g))
+
+    x64, g64 = x.astype(np.float64), g.astype(np.float64)
+    mu = x64.mean(0, keepdims=True)
+    var = ((x64 - mu) ** 2).mean(0, keepdims=True)
+    std = np.sqrt(var + eps)
+    xhat = (x64 - mu) / std
+    np.testing.assert_allclose(np.asarray(out.data), xhat * gamma + beta,
+                               rtol=1e-5, atol=1e-5)
+    gg = g64 * gamma
+    want_dx = (gg - gg.mean(0, keepdims=True)
+               - xhat * (gg * xhat).mean(0, keepdims=True)) / std
+    np.testing.assert_allclose(np.asarray(xt.grad), want_dx,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bn.params["gamma"].grad),
+                               (g64 * xhat).sum(0), rtol=1e-4, atol=1e-5)
+    # running stats captured eagerly
+    np.testing.assert_allclose(np.asarray(bn.buffers["mean"]), mu[0],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batch_norm_train_and_test_phases():
+    from tinynn_autograd_tpu.nn.layers import BatchNorm
+
+    random_seed(6)
+    net = Net([Dense(32, num_in=16), BatchNorm(), ReLU(),
+               Dense(4, num_in=32)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 16).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 64)]
+    # eager steps populate running stats AND the fused step trains
+    model.zero_grad()
+    loss_t = model.loss.loss(model.forward(Tensor(x)), Tensor(y))
+    loss_t.backward()
+    model.step()
+    assert net.layers[1].buffers["mean"] is not None
+    losses = [float(model.train_step(x, y)) for _ in range(40)]
+    assert losses[-1] < losses[0] * 0.6
+    # TEST phase uses the running stats, deterministically
+    model.set_phase("TEST")
+    p1 = model.forward(Tensor(x[:8]))
+    p2 = model.forward(Tensor(x[:8]))
+    np.testing.assert_allclose(np.asarray(p1.data), np.asarray(p2.data))
+    # and differs from TRAIN-phase batch-stat normalization on a skewed batch
+    model.set_phase("TRAIN")
+    p3 = model.forward(Tensor(x[:8] + 5.0))
+    model.set_phase("TEST")
+    p4 = model.forward(Tensor(x[:8] + 5.0))
+    assert not np.allclose(np.asarray(p3.data), np.asarray(p4.data))

@@ -22,7 +22,9 @@ Dropout, LeakyReLU / GELU / Softplus.
 import numpy as np
 
 import tinynn_autograd_tpu.ops as ops
-from tinynn_autograd_tpu.nn.initializer import XavierUniformInit, ZerosInit
+from tinynn_autograd_tpu.nn.initializer import (
+    OnesInit, XavierUniformInit, ZerosInit,
+)
 from tinynn_autograd_tpu.utils import seeder
 
 
@@ -95,6 +97,124 @@ class Dense(Layer):
         self.shapes["w"][0] = int(input_size)
         self.params["w"] = self.initializers["w"](self.shapes["w"])
         self.params["b"] = self.initializers["b"](self.shapes["b"])
+        self._is_init = True
+
+
+class LayerNorm(Layer):
+    """Layer normalization over the last axis with learned gamma/beta
+    (ops.layer_norm_ fused primitive, hand VJPs). Stateless — works in
+    every execution tier (eager, fused step, scanned/megakernel epochs).
+    ``dim`` may be omitted and is inferred from the first input (lazy
+    init, like Dense). No reference counterpart (the reference has no
+    normalization layers)."""
+
+    def __init__(self, dim=None, eps=1e-5, gamma_init=None, beta_init=None):
+        super().__init__("LayerNorm")
+        self.eps = eps
+        self.initializers = {
+            "gamma": gamma_init if gamma_init is not None else OnesInit(),
+            "beta": beta_init if beta_init is not None else ZerosInit(),
+        }
+        self.shapes = {"gamma": [dim], "beta": [dim]}
+        self.params = {"gamma": None, "beta": None}
+        self._is_init = False
+        if dim is not None:
+            self._init_parameters(dim)
+
+    @property
+    def is_init(self):
+        return self._is_init
+
+    def forward(self, inputs):
+        if not self._is_init:
+            self._init_parameters(inputs.shape[-1])
+        return ops.layer_norm_(inputs, self.params["gamma"],
+                               self.params["beta"], eps=self.eps)
+
+    def init_params(self, input_shape):
+        if not self._is_init:
+            self._init_parameters(input_shape[-1])
+        return tuple(input_shape)
+
+    def _init_parameters(self, dim):
+        self.shapes = {"gamma": [int(dim)], "beta": [int(dim)]}
+        self.params["gamma"] = self.initializers["gamma"](self.shapes["gamma"])
+        self.params["beta"] = self.initializers["beta"](self.shapes["beta"])
+        self._is_init = True
+
+
+class BatchNorm(Layer):
+    """Batch normalization over the batch (and, for NHWC inputs, spatial)
+    axes with learned per-feature gamma/beta (ops.batch_norm_, hand VJPs).
+
+    State model (functional-core-friendly): TRAIN always normalizes by the
+    CURRENT batch statistics — a pure function of the inputs, so the layer
+    works unchanged inside the fused jitted step and the scanned epoch.
+    Running mean/var estimates (for TEST) are updated by EMA only when the
+    forward runs on CONCRETE values (the eager/reference-style loop);
+    under a jit trace the update is skipped, since writing tracers into
+    layer state would leak. If TEST runs before any running stats exist,
+    the layer falls back to batch statistics (documented classic caveat).
+    No reference counterpart."""
+
+    def __init__(self, dim=None, eps=1e-5, momentum=0.1,
+                 gamma_init=None, beta_init=None):
+        super().__init__("BatchNorm")
+        self.eps = eps
+        self.momentum = momentum
+        self.initializers = {
+            "gamma": gamma_init if gamma_init is not None else OnesInit(),
+            "beta": beta_init if beta_init is not None else ZerosInit(),
+        }
+        self.shapes = {"gamma": [dim], "beta": [dim]}
+        self.params = {"gamma": None, "beta": None}
+        self.buffers = {"mean": None, "var": None}
+        self._is_init = False
+        if dim is not None:
+            self._init_parameters(dim)
+
+    @property
+    def is_init(self):
+        return self._is_init
+
+    def forward(self, inputs):
+        import jax
+
+        if not self._is_init:
+            self._init_parameters(inputs.shape[-1])
+        axes = tuple(range(inputs.data.ndim - 1))  # all but features
+        if self.is_training:
+            out, mu, var = ops.batch_norm_(
+                inputs, self.params["gamma"], self.params["beta"],
+                axes=axes, eps=self.eps)
+            if not isinstance(mu, jax.core.Tracer):
+                m = self.momentum
+                if self.buffers["mean"] is None:
+                    self.buffers["mean"], self.buffers["var"] = mu, var
+                else:
+                    self.buffers["mean"] = (1 - m) * self.buffers["mean"] + m * mu
+                    self.buffers["var"] = (1 - m) * self.buffers["var"] + m * var
+            return out
+        if self.buffers["mean"] is not None:
+            import jax.numpy as jnp
+
+            inv = 1.0 / jnp.sqrt(self.buffers["var"] + self.eps)
+            return ((inputs - self.buffers["mean"])
+                    * (self.params["gamma"] * inv) + self.params["beta"])
+        out, _, _ = ops.batch_norm_(
+            inputs, self.params["gamma"], self.params["beta"],
+            axes=axes, eps=self.eps)
+        return out
+
+    def init_params(self, input_shape):
+        if not self._is_init:
+            self._init_parameters(input_shape[-1])
+        return tuple(input_shape)
+
+    def _init_parameters(self, dim):
+        self.shapes = {"gamma": [int(dim)], "beta": [int(dim)]}
+        self.params["gamma"] = self.initializers["gamma"](self.shapes["gamma"])
+        self.params["beta"] = self.initializers["beta"](self.shapes["beta"])
         self._is_init = True
 
 

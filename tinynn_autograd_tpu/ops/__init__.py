@@ -7,6 +7,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     add_,
     all_gather_,
     astype_,
+    batch_norm_,
     build_binary_ops_tensor,
     build_unary_ops_tensor,
     clip_,
@@ -20,6 +21,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     flatten_,
     gelu_,
     getitem_,
+    layer_norm_,
     leaky_relu_,
     log_,
     log_softmax_,

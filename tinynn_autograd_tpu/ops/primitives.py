@@ -590,6 +590,89 @@ def _hash_bits_u32(shape, seed):
     return x.reshape(shape)
 
 
+def layer_norm_(ts_x, ts_gamma, ts_beta, eps=1e-5):
+    """Layer normalization over the LAST axis with learned scale/shift:
+    y = (x - mean)/sqrt(var + eps) * gamma + beta.
+
+    Hand VJPs (no jax.grad):
+      dx    = (gamma*g - mean(gamma*g) - xhat * mean(gamma*g * xhat)) / std
+      dgamma = sum over leading axes of g * xhat    (unbroadcast to shape)
+      dbeta  = sum over leading axes of g
+    One fused primitive instead of a mean/sub/sqrt/div composition keeps
+    the tape short and lets XLA emit a single normalization kernel.
+    (No reference counterpart — the reference has no normalization layers.)
+    """
+    x, gamma, beta = ts_x.data, ts_gamma.data, ts_beta.data
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    std = jnp.sqrt(var + eps)
+    xhat = (x - mu) / std
+    values = xhat * gamma + beta
+
+    def grad_fn_x(grad):
+        gg = grad * gamma
+        m1 = gg.mean(axis=-1, keepdims=True)
+        m2 = (gg * xhat).mean(axis=-1, keepdims=True)
+        return (gg - m1 - xhat * m2) / std
+
+    def grad_fn_gamma(grad):
+        return unbroadcast(grad * xhat, ts_gamma.shape)
+
+    def grad_fn_beta(grad):
+        return unbroadcast(grad, ts_beta.shape)
+
+    requires_grad = (ts_x.requires_grad or ts_gamma.requires_grad
+                     or ts_beta.requires_grad)
+    dependency = []
+    if ts_x.requires_grad:
+        dependency.append((ts_x, grad_fn_x))
+    if ts_gamma.requires_grad:
+        dependency.append((ts_gamma, grad_fn_gamma))
+    if ts_beta.requires_grad:
+        dependency.append((ts_beta, grad_fn_beta))
+    return ts_x.__class__(values, requires_grad, dependency)
+
+
+def batch_norm_(ts_x, ts_gamma, ts_beta, axes=(0,), eps=1e-5):
+    """Batch normalization over ``axes`` (the batch/spatial axes) with
+    learned per-feature scale/shift. Same hand-VJP structure as
+    layer_norm_ with the statistics taken over ``axes``:
+      dx = (gamma*g - mean_A(gamma*g) - xhat * mean_A(gamma*g*xhat)) / std
+    Returns (out_tensor, batch_mean, batch_var) — the concrete batch stats
+    let the BatchNorm layer maintain running estimates eagerly."""
+    x, gamma, beta = ts_x.data, ts_gamma.data, ts_beta.data
+    axes = tuple(axes)
+    mu = x.mean(axis=axes, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=axes, keepdims=True)
+    std = jnp.sqrt(var + eps)
+    xhat = (x - mu) / std
+    values = xhat * gamma + beta
+
+    def grad_fn_x(grad):
+        gg = grad * gamma
+        m1 = gg.mean(axis=axes, keepdims=True)
+        m2 = (gg * xhat).mean(axis=axes, keepdims=True)
+        return (gg - m1 - xhat * m2) / std
+
+    def grad_fn_gamma(grad):
+        return unbroadcast(grad * xhat, ts_gamma.shape)
+
+    def grad_fn_beta(grad):
+        return unbroadcast(grad, ts_beta.shape)
+
+    requires_grad = (ts_x.requires_grad or ts_gamma.requires_grad
+                     or ts_beta.requires_grad)
+    dependency = []
+    if ts_x.requires_grad:
+        dependency.append((ts_x, grad_fn_x))
+    if ts_gamma.requires_grad:
+        dependency.append((ts_gamma, grad_fn_gamma))
+    if ts_beta.requires_grad:
+        dependency.append((ts_beta, grad_fn_beta))
+    out = ts_x.__class__(values, requires_grad, dependency)
+    return out, mu.squeeze(), var.squeeze()
+
+
 def dropout_(ts, rate, rng):
     """Inverted dropout: zero with prob ``rate``, scale survivors by 1/(1-p).
 
