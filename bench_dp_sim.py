@@ -92,5 +92,58 @@ def main():
             "loss_parity_vs_single": True}), flush=True)
 
 
+def pp_section():
+    """Pipeline parallelism on the sim mesh: 8-stage GPipe vs the same
+    model single-device, loss parity asserted first (same caveat: the 8
+    virtual devices timeshare one host core, so PP pays collective +
+    bubble costs with no parallel hardware to win back)."""
+    from tinynn_autograd_tpu.models import build_deep_mlp
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn.optimizer import Adam
+    from tinynn_autograd_tpu.parallel import PipelineParallel, make_mesh
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    B, F, W, D, C = 512, 64, 256, 18, 10
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, F).astype(np.float32)
+    y = np.eye(C, dtype=np.float32)[rng.randint(0, C, B)]
+
+    def mk():
+        random_seed(1)
+        return Model(build_deep_mlp(num_in=F, depth=D, width=W, num_out=C),
+                     SoftmaxCrossEntropyLoss(), Adam(lr=1e-3))
+
+    single = mk()
+    pp = PipelineParallel(mk(), mesh=make_mesh(8, axis_name="pp"),
+                          microbatches=8)
+    for _ in range(3):
+        np.testing.assert_allclose(float(pp.train_step(x, y)),
+                                   float(single.train_step(x, y)),
+                                   rtol=3e-4, atol=1e-6)
+
+    def rate(fn):
+        rates = []
+        for _ in range(REPEATS + 1):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                loss = fn()
+            float(loss)
+            rates.append(4 / (time.perf_counter() - t0))
+        return rates[1:]
+
+    r_single = rate(lambda: single.train_step(x, y))
+    r_pp = rate(lambda: pp.train_step(x, y))
+    for name, rates in [("single_device", r_single), ("pp_8stage", r_pp)]:
+        med = statistics.median(rates)
+        print(json.dumps({
+            "metric": "pp_sim_%s_steps_per_sec" % name,
+            "value": round(med, 2), "unit": "steps/s", "batch": B,
+            "model": "deep MLP d%d w%d" % (D, W), "repeats": REPEATS,
+            "spread_pct": round(100 * (max(rates) - min(rates)) / med, 1),
+            "loss_parity_vs_single": True}), flush=True)
+
+
 if __name__ == "__main__":
     main()
+    pp_section()
