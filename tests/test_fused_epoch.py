@@ -141,3 +141,24 @@ def test_fused_epoch_with_dropout_interpret():
         assert np.isfinite(losses).all()
         first = losses.mean() if first is None else first
     assert losses.mean() < first * 0.8
+
+
+def test_fused_epoch_with_layer_norm_matches_scanned():
+    from tinynn_autograd_tpu.nn.layers import LayerNorm
+
+    def mk():
+        random_seed(13)
+        net = Net([Dense(32, num_in=16), LayerNorm(dim=32), ReLU(),
+                   Dense(4, num_in=32)])
+        return Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 16).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 64)]
+    m_f, m_s = mk(), mk()
+    for _ in range(3):
+        lf = np.asarray(m_f.train_epoch(x, y, batch_size=16, shuffle=False,
+                                        fused=True))
+        ls = np.asarray(m_s.train_epoch(x, y, batch_size=16, shuffle=False,
+                                        fused=False))
+        np.testing.assert_allclose(lf, ls, rtol=2e-4, atol=1e-6)

@@ -282,8 +282,8 @@ def test_layer_norm_forward_and_grads_vs_numpy_oracle():
     eps = 1e-5
 
     ln = LayerNorm(dim=12)
-    ln.params["gamma"] = Tensor(gamma, requires_grad=True)
-    ln.params["beta"] = Tensor(beta, requires_grad=True)
+    ln.params["gamma"] = Tensor(gamma.reshape(1, -1), requires_grad=True)
+    ln.params["beta"] = Tensor(beta.reshape(1, -1), requires_grad=True)
     xt = Tensor(x, requires_grad=True)
     out = ln.forward(xt)
     out.backward(Tensor(g))
@@ -303,9 +303,9 @@ def test_layer_norm_forward_and_grads_vs_numpy_oracle():
     np.testing.assert_allclose(np.asarray(xt.grad), want_dx,
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ln.params["gamma"].grad),
-                               (g64 * xhat).sum(0), rtol=1e-4, atol=1e-5)
+                               (g64 * xhat).sum(0, keepdims=True), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ln.params["beta"].grad),
-                               g64.sum(0), rtol=1e-5, atol=1e-6)
+                               g64.sum(0, keepdims=True), rtol=1e-5, atol=1e-6)
     # normalized rows: zero mean, unit variance before affine
     np.testing.assert_allclose(xhat.mean(-1), 0.0, atol=1e-7)
 
@@ -323,7 +323,7 @@ def test_layer_norm_lazy_init_and_training():
     assert not net.layers[1].is_init
     losses = [float(model.train_step(x, y)) for _ in range(40)]
     assert net.layers[1].is_init
-    assert tuple(net.layers[1].params["gamma"].shape) == (32,)
+    assert tuple(net.layers[1].params["gamma"].shape) == (1, 32)
     assert losses[-1] < losses[0] * 0.6
 
     # scanned-epoch path too
@@ -343,8 +343,8 @@ def test_batch_norm_grads_vs_numpy_oracle():
     eps = 1e-5
 
     bn = BatchNorm(dim=6)
-    bn.params["gamma"] = Tensor(gamma, requires_grad=True)
-    bn.params["beta"] = Tensor(beta, requires_grad=True)
+    bn.params["gamma"] = Tensor(gamma.reshape(1, -1), requires_grad=True)
+    bn.params["beta"] = Tensor(beta.reshape(1, -1), requires_grad=True)
     xt = Tensor(x, requires_grad=True)
     out = bn.forward(xt)
     out.backward(Tensor(g))
@@ -362,7 +362,7 @@ def test_batch_norm_grads_vs_numpy_oracle():
     np.testing.assert_allclose(np.asarray(xt.grad), want_dx,
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(bn.params["gamma"].grad),
-                               (g64 * xhat).sum(0), rtol=1e-4, atol=1e-5)
+                               (g64 * xhat).sum(0, keepdims=True), rtol=1e-4, atol=1e-5)
     # running stats captured eagerly
     np.testing.assert_allclose(np.asarray(bn.buffers["mean"]), mu[0],
                                rtol=1e-5, atol=1e-6)

@@ -115,7 +115,7 @@ class LayerNorm(Layer):
             "gamma": gamma_init if gamma_init is not None else OnesInit(),
             "beta": beta_init if beta_init is not None else ZerosInit(),
         }
-        self.shapes = {"gamma": [dim], "beta": [dim]}
+        self.shapes = {"gamma": [1, dim], "beta": [1, dim]}
         self.params = {"gamma": None, "beta": None}
         self._is_init = False
         if dim is not None:
@@ -137,7 +137,7 @@ class LayerNorm(Layer):
         return tuple(input_shape)
 
     def _init_parameters(self, dim):
-        self.shapes = {"gamma": [int(dim)], "beta": [int(dim)]}
+        self.shapes = {"gamma": [1, int(dim)], "beta": [1, int(dim)]}
         self.params["gamma"] = self.initializers["gamma"](self.shapes["gamma"])
         self.params["beta"] = self.initializers["beta"](self.shapes["beta"])
         self._is_init = True
@@ -212,7 +212,7 @@ class BatchNorm(Layer):
         return tuple(input_shape)
 
     def _init_parameters(self, dim):
-        self.shapes = {"gamma": [int(dim)], "beta": [int(dim)]}
+        self.shapes = {"gamma": [1, int(dim)], "beta": [1, int(dim)]}
         self.params["gamma"] = self.initializers["gamma"](self.shapes["gamma"])
         self.params["beta"] = self.initializers["beta"](self.shapes["beta"])
         self._is_init = True
