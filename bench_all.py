@@ -5,6 +5,8 @@ Methodology (round 2):
 - every timing is closed by a host readback (NOT block_until_ready, which
   does not block through tunneled platforms) and amortized over a whole
   multi-epoch run dispatched as ONE device call;
+- every config runs enough epochs per dispatch that the ~20ms tunnel
+  dispatch+readback cost is <10%% of the measured run;
 - every config runs REPEATS times after a same-shape warmup; the line
   reports the MEDIAN and the relative spread (max-min)/median, so
   round-over-round regressions are detectable against tunnel noise;
@@ -13,7 +15,7 @@ Methodology (round 2):
   wall). Floor models (see BENCHMARKS.md for derivations):
     mnist_mlp   : ~12 us  serialized matmul latency of the 10-matmul chain
     deep_mlp    : ~343 us 196 dependent [128,256]x[256,256] matmuls x1.75us
-    mnist_cnn   : ~143 us hand-written pure-JAX step of the same model
+    mnist_cnn   : ~92 us  hand-written pure-JAX step, same amortization
     dp          : n/a on one device (reported as overhead vs single-device)
 """
 
@@ -90,7 +92,7 @@ def main():
                     ("rmsprop", opt.RMSProp(1e-3)), ("adam", opt.Adam(1e-3))]:
         random_seed(0)
         m = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(), o)
-        rates = _time_epochs(m, x_dev, y_dev, batch, 20, len(tx) // batch)
+        rates = _time_epochs(m, x_dev, y_dev, batch, 40, len(tx) // batch)
         emit("mnist_mlp_%s_steps_per_sec" % name, rates, floor_us=12)
 
     # 3. deep-graph stress: 100-layer MLP. fused="auto" picks the HBM
@@ -109,14 +111,15 @@ def main():
         emit("deep_mlp_100layer_%s_steps_per_sec" % name, rates,
              floor_us=343)
 
-    # 4. CNN; floor = hand-written pure-JAX train step of the same model
-    # measured on this chip (143us — see BENCHMARKS.md)
+    # 4. CNN; floor = hand-written pure-JAX train step of the same model,
+    # measured on this chip at the same one-dispatch amortization (92us —
+    # see BENCHMARKS.md)
     random_seed(0)
     m = Model(build_mnist_cnn(), SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     cx = tx[:2560].reshape(-1, 28, 28, 1)
     cx_dev, cy_dev = m.stage(cx, ty_oh[:2560])
-    rates = _time_epochs(m, cx_dev, cy_dev, batch, 20, len(cx) // batch)
-    emit("mnist_cnn_train_steps_per_sec", rates, floor_us=143)
+    rates = _time_epochs(m, cx_dev, cy_dev, batch, 60, len(cx) // batch)
+    emit("mnist_cnn_train_steps_per_sec", rates, floor_us=92)
 
     # 5. data parallel. With one real chip the honest numbers are (a) the
     # DP machinery's overhead vs the plain single-device scanned epoch at
@@ -132,15 +135,19 @@ def main():
     m_single = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(),
                      opt.Adam(1e-3))
     sx, sy = m_single.stage(tx[:12800], ty_oh[:12800])
-    # force the scanned epoch (megakernel would flatter the comparison)
+    # both sides run 20 epochs as ONE dispatch (Model.train_epochs vs
+    # DataParallel.train_epochs), scanned epoch forced on the single side
+    # (the megakernel would flatter the comparison)
+    n_ep = 20
     single_rates = []
-    m_single.train_epochs(sx, sy, n_epochs=5, batch_size=gbatch, fused=False)
+    m_single.train_epochs(sx, sy, n_epochs=n_ep, batch_size=gbatch,
+                          fused=False)
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        losses = m_single.train_epochs(sx, sy, n_epochs=5,
+        losses = m_single.train_epochs(sx, sy, n_epochs=n_ep,
                                        batch_size=gbatch, fused=False)
         float(np.asarray(losses)[-1, -1])
-        single_rates.append(5 * (12800 // gbatch)
+        single_rates.append(n_ep * (12800 // gbatch)
                             / (time.perf_counter() - t0))
     random_seed(0)
     dp = DataParallel(Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(),
@@ -149,10 +156,10 @@ def main():
     dp_rates = []
     for _ in range(REPEATS + 1):  # first is warmup
         t0 = time.perf_counter()
-        for _ in range(5):
-            losses = dp.train_epoch(gx, gy, batch_size=gbatch)
-        float(np.asarray(losses)[-1])
-        dp_rates.append(5 * (12800 // gbatch) / (time.perf_counter() - t0))
+        losses = dp.train_epochs(gx, gy, n_epochs=n_ep, batch_size=gbatch)
+        float(np.asarray(losses)[-1, -1])
+        dp_rates.append(n_ep * (12800 // gbatch)
+                        / (time.perf_counter() - t0))
     dp_rates = dp_rates[1:]
     med_dp = emit("dp_%ddev_global_batch%d_steps_per_sec" % (n_dev, gbatch),
                   dp_rates)

@@ -397,3 +397,33 @@ def test_batch_norm_train_and_test_phases():
     model.set_phase("TEST")
     p4 = model.forward(Tensor(x[:8] + 5.0))
     assert not np.allclose(np.asarray(p3.data), np.asarray(p4.data))
+
+
+def test_batch_norm_predict_tracks_updated_running_stats():
+    """Jitted predict must read the CURRENT running stats (passed as traced
+    args), not statistics baked in at first trace."""
+    from tinynn_autograd_tpu.nn.layers import BatchNorm
+
+    random_seed(9)
+    net = Net([Dense(8, num_in=4), BatchNorm(), Dense(2, num_in=8)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(32, 4).astype(np.float32)
+    y = np.eye(2, dtype=np.float32)[rng.randint(0, 2, 32)]
+    # populate running stats eagerly, then prime the predict cache
+    model.zero_grad()
+    model.loss.loss(model.forward(Tensor(x)), Tensor(y)).backward()
+    model.step()
+    model.set_phase("TEST")
+    p1 = np.asarray(model.predict(x[:4]).data)
+    # shift the running stats (as further eager training would) and predict
+    # again through the SAME cached executable
+    bn = net.layers[1]
+    bn.buffers["mean"] = bn.buffers["mean"] + 3.0
+    p2 = np.asarray(model.predict(x[:4]).data)
+    assert not np.allclose(p1, p2), "predict used stale baked-in stats"
+    # buffers stay concrete after the traced call
+    assert not hasattr(bn.buffers["mean"], "aval") or True
+    import jax
+
+    assert not isinstance(bn.buffers["mean"], jax.core.Tracer)

@@ -65,9 +65,12 @@ def gather_rows(src, idx):
             or not src.flags.c_contiguous):
         return src[idx]
     idx = np.ascontiguousarray(idx, dtype=np.int64)
-    if idx.size and (idx.min() < 0 or idx.max() >= src.shape[0]):
-        raise IndexError(
-            "gather_rows index out of range for %d rows" % src.shape[0])
+    if idx.size:
+        if idx.min() < 0:  # numpy wrap semantics, matching the fallback
+            idx = np.where(idx < 0, idx + src.shape[0], idx)
+        if idx.min() < 0 or idx.max() >= src.shape[0]:
+            raise IndexError(
+                "gather_rows index out of range for %d rows" % src.shape[0])
     out = np.empty((len(idx), src.shape[1]), dtype=np.float32)
     lib.gather_rows_f32(
         src.ctypes.data, out.ctypes.data, idx.ctypes.data,

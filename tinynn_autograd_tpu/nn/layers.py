@@ -166,7 +166,7 @@ class BatchNorm(Layer):
             "gamma": gamma_init if gamma_init is not None else OnesInit(),
             "beta": beta_init if beta_init is not None else ZerosInit(),
         }
-        self.shapes = {"gamma": [dim], "beta": [dim]}
+        self.shapes = {"gamma": [1, dim], "beta": [1, dim]}
         self.params = {"gamma": None, "beta": None}
         self.buffers = {"mean": None, "var": None}
         self._is_init = False

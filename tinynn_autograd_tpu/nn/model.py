@@ -48,20 +48,30 @@ class Model:
         return self.net.forward(inputs)
 
     def predict(self, inputs):
-        """Jit-compiled inference forward (cached per phase)."""
+        """Jit-compiled inference forward (cached per phase).
+
+        Non-trainable layer state (e.g. BatchNorm running stats) is passed
+        as a traced ARGUMENT and bound at trace time, so updated statistics
+        flow into the cached executable instead of being baked in as stale
+        constants; the key carries the buffers' structure so the
+        missing-stats fallback branch can't get pinned either."""
         inputs = jnp.asarray(inputs)
         self._ensure_init(inputs.shape)
-        key = ("predict", self._phase)
+        buffers = self.net.buffers_tree()
+        key = ("predict", self._phase,
+               tuple(tuple(sorted(d)) for d in buffers))
         if key not in self._jitted:
-            def fwd(params, x):
+            def fwd(params, buffers, x):
                 self.net.bind_params(params)
+                self.net.bind_buffers(buffers)
                 out = self.net.forward(Tensor(x))
                 return out.data
 
             self._jitted[key] = jax.jit(fwd)
         tree = self._params if self._params is not None else self.net.params_tree()
-        out = self._jitted[key](tree, inputs)
+        out = self._jitted[key](tree, buffers, inputs)
         self.net.bind_params(tree)  # clear tracer-backed params from tracing
+        self.net.bind_buffers(buffers)
         return Tensor(out)
 
     # ------------------------------------------------- fused TPU train step
@@ -200,22 +210,23 @@ class Model:
                 "(the ragged tail is dropped; nothing would train)"
                 % (n, batch_size))
 
-        # pick the epoch-body kind: "mega" (whole-epoch VMEM megakernel),
-        # "stream" (HBM weight-streaming kernels for bodies too big for
-        # VMEM), or "scan" (plain lax.scan of the fused step)
+        # pick the epoch-body kinds to try, best first: "mega" (whole-epoch
+        # VMEM megakernel), "stream" (HBM weight-streaming kernels for
+        # bodies too big for VMEM), then "scan" (plain lax.scan of the
+        # fused step, always works)
         if fused is True:
-            kind = "mega"
+            kinds = ["mega"]
         elif fused == "stream":
-            kind = "stream"
+            kinds = ["stream"]
         elif fused == "auto":
+            kinds = []
             if self._fused_ok():
-                kind = "mega"
-            elif self._stream_ok():
-                kind = "stream"
-            else:
-                kind = "scan"
+                kinds.append("mega")
+            if self._stream_ok():
+                kinds.append("stream")
+            kinds.append("scan")
         else:
-            kind = "scan"
+            kinds = ["scan"]
         interpret = (fused in (True, "stream")
                      and jax.default_backend() != "tpu")
         rng = seeder.next_key()
@@ -230,7 +241,9 @@ class Model:
             caller instead of being misreported as 'megakernel unavailable'.
             """
             key = ("train_epochs", n_epochs, batch_size, bool(shuffle), n,
-                   kind_flag, interpret)
+                   kind_flag, interpret,
+                   x_all.shape[1:], str(x_all.dtype),
+                   y_all.shape[1:], str(y_all.dtype))
             if key not in self._jitted:
                 self.net.set_phase("TRAIN")
                 epoch_body = self._make_epoch_body(
@@ -256,24 +269,26 @@ class Model:
             return self._jitted[key]
 
         run = None
-        if kind in ("mega", "stream"):
+        for kind in kinds:
+            if kind == "scan":
+                run = compiled_runner("scan")
+                break
             try:
                 run = compiled_runner(kind)
+                break
             except Exception as e:
                 if fused in (True, "stream"):
                     raise
-                # fused kernel failed to build/compile on this config:
-                # fall back to the scanned epoch (correct, somewhat slower)
+                # this fused kernel failed to build/compile on this config:
+                # remember per KIND and fall through to the next tier
                 import warnings
 
                 warnings.warn(
                     "fused %s epoch failed to build/compile (%s: %s); "
-                    "falling back to the scanned epoch"
-                    % (kind, type(e).__name__, e), RuntimeWarning)
-                self._fused_broken = True
-                kind = "scan"
-        if run is None:
-            run = compiled_runner("scan")
+                    "falling back" % (kind, type(e).__name__, e),
+                    RuntimeWarning)
+                self._broken_kinds = getattr(self, "_broken_kinds", set())
+                self._broken_kinds.add(kind)
 
         self._params, self._opt_state, losses = run(
             self._params, self._opt_state, x_all, y_all, rng)
@@ -361,7 +376,7 @@ class Model:
     def _fused_ok(self):
         from tinynn_autograd_tpu.ops import fused_epoch
 
-        if getattr(self, "_fused_broken", False):
+        if "mega" in getattr(self, "_broken_kinds", ()):
             return False
         if jax.default_backend() != "tpu":
             return False
@@ -371,7 +386,7 @@ class Model:
     def _stream_ok(self):
         from tinynn_autograd_tpu.ops import streaming_epoch
 
-        if getattr(self, "_fused_broken", False):
+        if "stream" in getattr(self, "_broken_kinds", ()):
             return False
         if jax.default_backend() != "tpu":
             return False

@@ -98,6 +98,24 @@ class Net:
             for layer in self.layers
         ]
 
+    def buffers_tree(self):
+        """Raw-array pytree of non-trainable layer state (e.g. BatchNorm
+        running stats): list of per-layer dicts, {} for stateless layers."""
+        return [
+            {k: v for k, v in getattr(layer, "buffers", {}).items()
+             if v is not None}
+            for layer in self.layers
+        ]
+
+    def bind_buffers(self, tree):
+        """Install a (possibly traced) buffers pytree as the layers' live
+        non-trainable state. Jitted inference passes buffers as ARGUMENTS
+        and binds them at trace time, so running statistics are never baked
+        into a cached executable as stale constants."""
+        for layer, layer_tree in zip(self.layers, tree):
+            for k, arr in layer_tree.items():
+                layer.buffers[k] = arr
+
     # --------------------------------------------------------------- phase
 
     def get_phase(self):

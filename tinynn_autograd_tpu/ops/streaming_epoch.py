@@ -64,9 +64,7 @@ def supports(net, params_tree, optimizer):
     Dense/Activation/Flatten layers, width a multiple of 128 (MXU tiling),
     and any optimizer (all six expose the per-leaf ``_step_leaf`` rule the
     backward kernel re-traces)."""
-    from tinynn_autograd_tpu.nn.layers import (
-        Activation, Dense, DenseStack, Flatten,
-    )
+    from tinynn_autograd_tpu.nn.layers import Activation, Dense, Flatten
 
     stack_idx = _find_stack(net)
     if stack_idx is None:
@@ -80,8 +78,6 @@ def supports(net, params_tree, optimizer):
         if i == stack_idx:
             continue
         if not isinstance(layer, (Dense, Activation, Flatten)):
-            return False
-        if isinstance(layer, DenseStack):
             return False
     return hasattr(optimizer, "_step_leaf")
 

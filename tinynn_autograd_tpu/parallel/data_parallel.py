@@ -145,6 +145,15 @@ class DataParallel:
         shuffles and scans the fused step over ITS shard of the dataset,
         pmean-ing gradients over ICI every step. ``batch_size`` is the
         GLOBAL batch. Returns the per-step global-mean loss trace."""
+        return self.train_epochs(x_all, y_all, n_epochs=1,
+                                 batch_size=batch_size, shuffle=shuffle)[0]
+
+    def train_epochs(self, x_all, y_all, n_epochs, batch_size=128,
+                     shuffle=True):
+        """``n_epochs`` data-parallel epochs as ONE dispatch (outer
+        lax.scan over per-epoch shuffle keys around the sharded epoch
+        body — the DP analog of Model.train_epochs). Returns the loss
+        trace [n_epochs, n_steps]."""
         x_all = jnp.asarray(x_all.data if isinstance(x_all, Tensor) else x_all)
         y_all = jnp.asarray(y_all.data if isinstance(y_all, Tensor) else y_all)
         if x_all.shape[0] % self.n_devices or batch_size % self.n_devices:
@@ -163,7 +172,8 @@ class DataParallel:
         local_n = x_all.shape[0] // self.n_devices
         local_batch = batch_size // self.n_devices
         n_steps = local_n // local_batch
-        key = ("dp_epoch", batch_size, bool(shuffle), x_all.shape[0])
+        key = ("dp_epochs", int(n_epochs), batch_size, bool(shuffle),
+               x_all.shape[0], x_all.shape[1:], y_all.shape[1:])
         if not hasattr(self, "_epoch_fns"):
             self._epoch_fns = {}
         if key not in self._epoch_fns:
@@ -209,8 +219,20 @@ class DataParallel:
                     body, (params, opt_state), (xb, yb))
                 return params, opt_state, losses
 
+            def local_run(params, opt_state, xs, ys, rng):
+                def epoch_body(carry, ekey):
+                    params, opt_state = carry
+                    params, opt_state, losses = local_epoch(
+                        params, opt_state, xs, ys, ekey)
+                    return (params, opt_state), losses
+
+                keys = jax.random.split(rng, n_epochs)
+                (params, opt_state), losses = jax.lax.scan(
+                    epoch_body, (params, opt_state), keys)
+                return params, opt_state, losses
+
             sharded = jax.shard_map(
-                local_epoch,
+                local_run,
                 mesh=self.mesh,
                 in_specs=(P(), P(), P(self.axis_name), P(self.axis_name),
                           P()),
