@@ -54,15 +54,19 @@ def main():
 
     # the whole measured run is ONE device dispatch (outer lax.scan over
     # epochs around the fused/megakernel epoch), so neither per-step nor
-    # per-epoch dispatch latency pollutes the number
-    start = time.perf_counter()
-    losses = model.train_epochs(x_dev, y_dev, n_epochs=n_epochs,
-                                batch_size=batch)
-    final_loss = float(np.asarray(losses)[-1, -1])
-    elapsed = time.perf_counter() - start
-    assert np.isfinite(final_loss)
+    # per-epoch dispatch latency pollutes the number; MEDIAN of 3 runs so
+    # a single tunnel hiccup can't set the headline
+    rates = []
+    for _ in range(3):
+        start = time.perf_counter()
+        losses = model.train_epochs(x_dev, y_dev, n_epochs=n_epochs,
+                                    batch_size=batch)
+        final_loss = float(np.asarray(losses)[-1, -1])
+        elapsed = time.perf_counter() - start
+        assert np.isfinite(final_loss)
+        rates.append(n_epochs * steps_per_epoch / elapsed)
 
-    steps_per_sec = n_epochs * steps_per_epoch / elapsed
+    steps_per_sec = sorted(rates)[1]
     print(json.dumps({
         "metric": "mnist_mlp_train_steps_per_sec",
         "value": round(steps_per_sec, 2),
