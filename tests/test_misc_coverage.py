@@ -167,3 +167,42 @@ def test_transpose_negative_axes_grad():
         norm = [a % 3 for a in axes]
         expect = g.transpose(np.argsort(norm))
         np.testing.assert_allclose(np.asarray(t.grad), expect, rtol=1e-6)
+
+
+def test_prefetch_iterator_matches_plain_iterator():
+    from tinynn_autograd_tpu.utils.data_iterator import (
+        BatchIterator, PrefetchIterator,
+    )
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(100, 5).astype(np.float32)
+    y = rng.randn(100, 2).astype(np.float32)
+    np.random.seed(7)
+    plain = list(BatchIterator(batch_size=32, shuffle=True)(x, y))
+    np.random.seed(7)
+    pre = list(PrefetchIterator(batch_size=32, shuffle=True)(x, y))
+    assert len(plain) == len(pre) == 4
+    for a, b in zip(plain, pre):
+        np.testing.assert_array_equal(a.inputs, b.inputs)
+        np.testing.assert_array_equal(a.targets, b.targets)
+
+
+def test_prefetch_iterator_propagates_worker_errors():
+    from tinynn_autograd_tpu.utils.data_iterator import PrefetchIterator
+
+    class Boom:
+        def __call__(self, inputs, targets):
+            yield from ()
+            raise RuntimeError("boom")
+
+    # generator that raises after exhaustion
+    def bad_iter(inputs, targets):
+        yield inputs
+        raise RuntimeError("boom")
+
+    class Wrap:
+        __call__ = staticmethod(bad_iter)
+
+    it = PrefetchIterator(iterator=Wrap())
+    with pytest.raises(RuntimeError):
+        list(it(np.zeros(3), np.zeros(3)))

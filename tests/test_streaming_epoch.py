@@ -122,3 +122,23 @@ def test_streaming_via_deep_mlp_builder():
     lr = np.asarray(m_r.train_epoch(x, y, batch_size=32, shuffle=False,
                                     fused=False))
     np.testing.assert_allclose(ls, lr, rtol=2e-4, atol=1e-6)
+
+
+def test_streaming_with_lr_schedule_matches_scanned():
+    from tinynn_autograd_tpu.nn.scheduler import WarmupCosineLR
+
+    def opt():
+        from tinynn_autograd_tpu.nn.optimizer import Adam
+
+        return Adam(lr=WarmupCosineLR(lr=1e-2, warmup_steps=4,
+                               decay_steps=24))
+
+    x, y = _data()
+    m_s = _model(opt())
+    m_r = _model(opt())
+    for _ in range(3):
+        ls = np.asarray(m_s.train_epoch(x, y, batch_size=32, shuffle=False,
+                                        fused="stream"))
+        lr = np.asarray(m_r.train_epoch(x, y, batch_size=32, shuffle=False,
+                                        fused=False))
+        np.testing.assert_allclose(ls, lr, rtol=2e-4, atol=1e-6)

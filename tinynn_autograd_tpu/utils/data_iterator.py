@@ -57,3 +57,49 @@ class BatchIterator(BaseIterator):
                 batch_inputs = inputs[start:end]
                 batch_targets = targets[start:end]
             yield Batch(inputs=batch_inputs, targets=batch_targets)
+
+
+class PrefetchIterator(BaseIterator):
+    """Wrap any BaseIterator with a background thread that prepares batches
+    ahead of the consumer (host-side gather/one-hot overlaps device compute
+    in eager training loops). ``depth`` batches are buffered in a queue.
+
+    No reference counterpart (the reference prepares every batch inline on
+    the hot path, utils/data_iterator.py:22-34 there). The TPU one-dispatch
+    paths don't need this — data is staged to HBM once — but the
+    reference-style per-batch loop benefits on slow hosts.
+    """
+
+    _DONE = object()
+
+    def __init__(self, iterator=None, depth=2, **batch_kwargs):
+        self.iterator = iterator if iterator is not None else BatchIterator(
+            **batch_kwargs)
+        self.depth = depth
+
+    def __call__(self, inputs, targets):
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=self.depth)
+        err = []
+
+        def worker():
+            try:
+                for batch in self.iterator(inputs, targets):
+                    q.put(batch)
+            except BaseException as e:  # surface in the consumer thread
+                err.append(e)
+            finally:
+                q.put(self._DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._DONE:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
