@@ -183,11 +183,13 @@ def _build_backward(L, B, W, act_name, optimizer, C, interpret):
                 h_in = jnp.where(s == 0, h0_ref[...], aprev1_ref[0])
 
             dz = dh * act_grad(a)
-            dw = jnp.dot(h_in.T, dz, preferred_element_type=jnp.float32)
-            db_ref[j] = jnp.sum(dz, axis=0, keepdims=True)
-            # dh for the previous layer must use the PRE-update weights
+            # dh first: it is the serial dependency chain (feeds the next
+            # layer's dz); dw/db/optimizer work is off-path and can overlap
+            # behind it. Must use the PRE-update weights.
             dh = jnp.dot(dz, w_ref[j].T,
                          preferred_element_type=jnp.float32)
+            dw = jnp.dot(h_in.T, dz, preferred_element_type=jnp.float32)
+            db_ref[j] = jnp.sum(dz, axis=0, keepdims=True)
 
             sw = {n: slot_w_in[k][j] for k, n in enumerate(slot_names)}
             step_w, new_sw = optimizer._step_leaf(dw, lr, t, sw)
