@@ -1,0 +1,136 @@
+"""Transformer family (no reference counterpart): the attention stack is
+pure tape algebra (batched dot_, fused softmax_, layer_norm_), so the
+standard checks are grads-vs-finite-differences, causality, and end-to-end
+learning of a task that REQUIRES attention routing."""
+
+import numpy as np
+import pytest
+
+from tinynn_autograd_tpu import Tensor, ops
+from tinynn_autograd_tpu.models import build_tiny_transformer
+from tinynn_autograd_tpu.nn.layers import Embedding, TransformerBlock
+from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+from tinynn_autograd_tpu.nn.model import Model
+from tinynn_autograd_tpu.nn.optimizer import Adam
+from tinynn_autograd_tpu.utils.seeder import random_seed
+
+
+def test_softmax_primitive_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    x = rng.randn(5, 7).astype(np.float32) * 3
+    g = rng.randn(5, 7).astype(np.float32)
+    t = Tensor(x, requires_grad=True)
+    out = ops.softmax_(t, axis=-1)
+    out.backward(Tensor(g))
+
+    x64, g64 = x.astype(np.float64), g.astype(np.float64)
+    e = np.exp(x64 - x64.max(-1, keepdims=True))
+    y = e / e.sum(-1, keepdims=True)
+    want_dx = y * (g64 - (g64 * y).sum(-1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(out.data), y, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t.grad), want_dx, rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.data).sum(-1), 1.0,
+                               rtol=1e-6)
+
+
+def test_transformer_block_grads_finite_diff():
+    """Central finite differences through the full block (float32, loose
+    tolerance) on a handful of sampled parameters of every matrix."""
+    random_seed(2)
+    blk = TransformerBlock(dim=16, num_heads=2, mlp_ratio=2)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 16).astype(np.float32) * 0.5
+    g = rng.randn(2, 4, 16).astype(np.float32) * 0.1
+
+    def loss_with(param_name, flat_idx, delta):
+        p = blk.params[param_name]
+        arr = np.asarray(p.data).copy()
+        arr.flat[flat_idx] += delta
+        blk.params[param_name] = Tensor(arr, requires_grad=True)
+        out = blk.forward(Tensor(x))
+        val = float((np.asarray(out.data) * g).sum())
+        blk.params[param_name] = p
+        return val
+
+    out = blk.forward(Tensor(x))
+    out.backward(Tensor(g))
+    eps = 3e-3
+    for name in ("wq", "wk", "wv", "wo", "w1", "w2", "g1", "be2"):
+        grad = np.asarray(blk.params[name].grad)
+        for flat_idx in (0, grad.size // 2):
+            num = (loss_with(name, flat_idx, eps)
+                   - loss_with(name, flat_idx, -eps)) / (2 * eps)
+            got = grad.flat[flat_idx]
+            np.testing.assert_allclose(
+                got, num, rtol=5e-2, atol=5e-3,
+                err_msg="finite-diff mismatch at %s[%d]" % (name, flat_idx))
+
+
+def test_causal_mask_blocks_future_tokens():
+    random_seed(3)
+    blk = TransformerBlock(dim=16, num_heads=2, causal=True)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 6, 16).astype(np.float32)
+    out1 = np.asarray(blk.forward(Tensor(x)).data)
+    x2 = x.copy()
+    x2[:, 4:, :] += 10.0  # perturb the future
+    out2 = np.asarray(blk.forward(Tensor(x2)).data)
+    np.testing.assert_allclose(out1[:, :4], out2[:, :4], rtol=1e-5,
+                               atol=1e-6)
+    assert not np.allclose(out1[:, 4:], out2[:, 4:])
+
+
+def test_embedding_grads_accumulate_for_repeated_tokens():
+    random_seed(4)
+    emb = Embedding(vocab=6, dim=3)
+    ids = np.array([[1, 1, 2]])
+    out = emb.forward(Tensor(ids))
+    out.backward(Tensor(np.ones((1, 3, 3), np.float32)))
+    grad = np.asarray(emb.params["w"].grad)
+    np.testing.assert_allclose(grad[1], 2.0)  # token 1 used twice
+    np.testing.assert_allclose(grad[2], 1.0)
+    np.testing.assert_allclose(grad[0], 0.0)
+
+
+def test_transformer_learns_attention_routing_task():
+    """Classify the token at position 0 — solvable only by routing
+    position-0 information through attention to the pooled readout."""
+    random_seed(0)
+    net = build_tiny_transformer(vocab=16, seq_len=8, dim=32, heads=4,
+                                 depth=2, num_out=16)
+    m = Model(net, SoftmaxCrossEntropyLoss(), Adam(3e-3))
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 16, (256, 8))
+    y = np.eye(16, dtype=np.float32)[x[:, 0]]
+    losses = [float(m.train_step(x, y)) for _ in range(120)]
+    assert losses[-1] < 0.05 * losses[0]
+    m.set_phase("TEST")
+    pred = np.argmax(m.predict(x[:64]).numpy(), axis=1)
+    assert (pred == x[:64, 0]).mean() > 0.95
+
+
+def test_transformer_scanned_epoch_and_checkpoint(tmp_path):
+    import os
+
+    random_seed(1)
+    net = build_tiny_transformer(vocab=8, seq_len=4, dim=16, heads=2,
+                                 depth=1, num_out=8)
+    m = Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-3))
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 8, (64, 4))
+    y = np.eye(8, dtype=np.float32)[x[:, 0]]
+    losses = np.asarray(m.train_epoch(x, y, batch_size=16, shuffle=False,
+                                      fused=False))
+    assert np.isfinite(losses).all()
+    path = os.path.join(str(tmp_path), "tf.pkl")
+    m.save(path)
+    random_seed(1)
+    m2 = Model(build_tiny_transformer(vocab=8, seq_len=4, dim=16, heads=2,
+                                      depth=1, num_out=8),
+               SoftmaxCrossEntropyLoss(), Adam(1e-3))
+    m2.load(path)
+    l1 = float(m.train_step(x, y))
+    l2 = float(m2.train_step(x, y))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-7)

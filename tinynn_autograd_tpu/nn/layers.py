@@ -23,7 +23,7 @@ import numpy as np
 
 import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.nn.initializer import (
-    OnesInit, XavierUniformInit, ZerosInit,
+    NormalInit, OnesInit, XavierUniformInit, ZerosInit,
 )
 from tinynn_autograd_tpu.utils import seeder
 
@@ -141,6 +141,143 @@ class LayerNorm(Layer):
         self.params["gamma"] = self.initializers["gamma"](self.shapes["gamma"])
         self.params["beta"] = self.initializers["beta"](self.shapes["beta"])
         self._is_init = True
+
+
+class Embedding(Layer):
+    """Token embedding: int ids [..] -> vectors [.., dim] via table lookup.
+    The lookup is ``ops.getitem_`` whose VJP scatter-ADDS (repeated tokens
+    accumulate gradient — the correct adjoint; reference getitem overwrote,
+    reference: core/ops.py:285-288). No reference counterpart layer."""
+
+    def __init__(self, vocab, dim, w_init=None):
+        super().__init__("Embedding")
+        self.initializers = {
+            "w": w_init if w_init is not None else NormalInit(std=0.02),
+        }
+        self.shapes = {"w": [vocab, dim]}
+        self.params = {"w": None}
+        self._init_parameters()
+
+    def _init_parameters(self):
+        self.params["w"] = self.initializers["w"](self.shapes["w"])
+
+    def init_params(self, input_shape):
+        return tuple(input_shape) + (self.shapes["w"][1],)
+
+    def forward(self, inputs):
+        ids = inputs.data if hasattr(inputs, "data") else inputs
+        return self.params["w"][ids]
+
+
+class PositionalEmbedding(Layer):
+    """Learned additive position embedding: x [B, T, D] + pos [1, T, D]."""
+
+    def __init__(self, seq_len, dim, w_init=None):
+        super().__init__("PositionalEmbedding")
+        self.initializers = {
+            "pos": w_init if w_init is not None else NormalInit(std=0.02),
+        }
+        self.shapes = {"pos": [1, seq_len, dim]}
+        self.params = {"pos": self.initializers["pos"](self.shapes["pos"])}
+
+    def init_params(self, input_shape):
+        return tuple(input_shape)
+
+    def forward(self, inputs):
+        return inputs + self.params["pos"]
+
+
+class TransformerBlock(Layer):
+    """Pre-LN transformer block: x + MHA(LN(x)), then x + MLP(LN(x)).
+
+    Everything is ordinary Tensor algebra over the tape primitives —
+    batched N-D ``dot_`` for the attention matmuls, the fused ``softmax_``
+    primitive on the score rows, ``layer_norm_`` for the two norms — so
+    the SAME code runs eagerly and inside the fused jitted step, and the
+    whole backward (including through softmax and the batched matmuls) is
+    generated by the tape's hand-written VJPs. ``causal=True`` adds the
+    standard -inf upper-triangular mask before the softmax. No reference
+    counterpart (the reference has no attention or sequence models).
+    """
+
+    def __init__(self, dim, num_heads, mlp_ratio=4, causal=False,
+                 w_init=None, eps=1e-5):
+        super().__init__("TransformerBlock")
+        assert dim % num_heads == 0, (dim, num_heads)
+        self.dim = dim
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.causal = causal
+        self.eps = eps
+        init = w_init if w_init is not None else XavierUniformInit()
+        hidden = int(dim * mlp_ratio)
+        self.shapes = {
+            "wq": [dim, dim], "wk": [dim, dim], "wv": [dim, dim],
+            "wo": [dim, dim],
+            "w1": [dim, hidden], "b1": [1, hidden],
+            "w2": [hidden, dim], "b2": [1, dim],
+            "g1": [1, dim], "be1": [1, dim],
+            "g2": [1, dim], "be2": [1, dim],
+        }
+        zeros = ZerosInit()
+        ones = OnesInit()
+        self.params = {}
+        for k, shape in self.shapes.items():
+            if k.startswith("g"):
+                self.params[k] = ones(shape)
+            elif k.startswith(("b", "be")):
+                self.params[k] = zeros(shape)
+            else:
+                self.params[k] = init(shape)
+
+    def init_params(self, input_shape):
+        return tuple(input_shape)
+
+    def _mask(self, t):
+        import jax.numpy as jnp
+
+        if not self.causal:
+            return None
+        return jnp.where(
+            np.tril(np.ones((t, t), np.float32)) == 1.0, 0.0, -1e9)
+
+    def forward(self, inputs):
+        p = self.params
+        b, t, d = inputs.shape
+        h, hd = self.num_heads, self.head_dim
+
+        def split_heads(x):  # [B,T,D] -> [B,H,T,hd]
+            return x.reshape((b, t, h, hd)).transpose((0, 2, 1, 3))
+
+        xn = ops.layer_norm_(inputs, p["g1"], p["be1"], eps=self.eps)
+        q = split_heads(xn @ p["wq"])
+        k = split_heads(xn @ p["wk"])
+        v = split_heads(xn @ p["wv"])
+        scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
+        mask = self._mask(t)
+        if mask is not None:
+            scores = scores + mask
+        attn = ops.softmax_(scores, axis=-1)
+        ctx = (attn @ v).transpose((0, 2, 1, 3)).reshape((b, t, d))
+        x = inputs + ctx @ p["wo"]
+
+        yn = ops.layer_norm_(x, p["g2"], p["be2"], eps=self.eps)
+        y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+        return x + y
+
+
+class GlobalAvgPool1D(Layer):
+    """[B, T, D] -> [B, D]: mean over the sequence axis (readout head for
+    sequence classifiers)."""
+
+    def __init__(self):
+        super().__init__("GlobalAvgPool1D")
+
+    def init_params(self, input_shape):
+        return (input_shape[0], input_shape[2])
+
+    def forward(self, inputs):
+        return ops.mean_(inputs, axis=1)
 
 
 class BatchNorm(Layer):

@@ -42,6 +42,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     relu_,
     reshape_,
     sigmoid_,
+    softmax_,
     softplus_,
     sqrt_,
     sub_,

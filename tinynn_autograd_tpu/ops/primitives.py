@@ -673,6 +673,21 @@ def batch_norm_(ts_x, ts_gamma, ts_beta, axes=(0,), eps=1e-5):
     return out, mu.squeeze(), var.squeeze()
 
 
+def softmax_(ts, axis=-1):
+    """Row-stable softmax; VJP: dx = y * (g - sum(g*y, axis, keepdims)).
+
+    Fused primitive (one tape node) — the attention hot path. Same
+    numerics as exp(log_softmax(x)).
+    """
+    values = jax.nn.softmax(ts.data, axis=axis)
+
+    def grad_fn(grad):
+        return values * (grad - (grad * values).sum(axis=axis,
+                                                    keepdims=True))
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
 def dropout_(ts, rate, rng):
     """Inverted dropout: zero with prob ``rate``, scale survivors by 1/(1-p).
 
