@@ -125,3 +125,32 @@ def test_tp_rejects_unsupported_layers():
     x, y = _data(8)
     with pytest.raises(ValueError):
         tp.train_step(x, y)
+
+
+def test_tp_multi_pair_matches_single_device():
+    """Regression: with MULTIPLE stacked (col,row) Megatron pairs, the
+    col-layer input cotangent is a per-device PARTIAL sum and must be
+    all-reduced (the Megatron "f" operator, ops.replicate_grad_) — the
+    round-1 implementation silently trained stacked pairs on partial
+    gradients (losses diverged by ~1e-2 within 3 steps)."""
+    def mk(seed):
+        random_seed(seed)
+        net = Net([Dense(32, num_in=8), ReLU(), Dense(24, num_in=32),
+                   ReLU(), Dense(32, num_in=24), ReLU(),
+                   Dense(16, num_in=32), ReLU(), Dense(4, num_in=16)])
+        return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+    x, y = _data(32)
+    tp = TensorParallel(mk(1), mesh=make_mesh(8, axis_name="model"))
+    ref = mk(1)
+    assert tp is not None
+    for _ in range(4):
+        np.testing.assert_allclose(float(tp.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=2e-5, atol=1e-6)
+    gathered = tp.gather_params()
+    for layer_tp, layer_ref in zip(gathered, ref._params):
+        for k in layer_ref:
+            np.testing.assert_allclose(
+                layer_tp[k], np.asarray(layer_ref[k]),
+                rtol=3e-4, atol=1e-5)

@@ -40,6 +40,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     psum_,
     psum_scatter_,
     relu_,
+    replicate_grad_,
     reshape_,
     sigmoid_,
     softmax_,

@@ -1109,6 +1109,24 @@ def psum_scatter_(ts, axis_name):
     return build_unary_ops_tensor(ts, grad_fn, values)
 
 
+def replicate_grad_(ts, axis_name):
+    """Megatron's "f" conjugate operator: IDENTITY forward on a replicated
+    value whose VJP all-reduces the cotangent over the mesh axis.
+
+    Needed wherever a replicated activation fans out into per-device
+    SHARDED branches (e.g. the input of a column-parallel layer, or of a
+    head-sharded attention block): each device's tape produces only its
+    shard's partial contribution to the input cotangent, and the psum
+    reassembles the true total before it flows further upstream. Without
+    it, stacked Megatron pairs silently train on partial gradients."""
+    values = ts.data
+
+    def grad_fn(grad):
+        return jax.lax.psum(grad, axis_name=axis_name)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
 def ppermute_(ts, axis_name, perm):
     """Point-to-point mesh permutation (lax.ppermute) as a tape primitive.
 

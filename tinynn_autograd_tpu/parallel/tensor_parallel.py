@@ -145,7 +145,14 @@ class TensorParallel:
                     from tinynn_autograd_tpu.ops import psum_
 
                     h = psum_(h @ w, axis) + b
-                else:  # col or rep: weights already local slices
+                elif kind == "col":
+                    # Megatron "f": identity fwd, psum bwd — the input is
+                    # replicated but each device's backward only produces
+                    # its head/column shard's PARTIAL input cotangent
+                    from tinynn_autograd_tpu.ops import replicate_grad_
+
+                    h = replicate_grad_(h, axis) @ w + b
+                else:  # rep: replicated weights, replicated activations
                     h = h @ w + b
                 dense_i += 1
             else:
