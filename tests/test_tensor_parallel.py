@@ -154,3 +154,65 @@ def test_tp_multi_pair_matches_single_device():
             np.testing.assert_allclose(
                 layer_tp[k], np.asarray(layer_ref[k]),
                 rtol=3e-4, atol=1e-5)
+
+
+def _transformer_model(seed, heads=8):
+    from tinynn_autograd_tpu.models import build_tiny_transformer
+
+    random_seed(seed)
+    net = build_tiny_transformer(vocab=16, seq_len=8, dim=32, heads=heads,
+                                 depth=2, num_out=16)
+    return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+
+def _token_data(n=32):
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 16, (n, 8))
+    y = np.eye(16, dtype=np.float32)[x[:, 0]]
+    return x, y
+
+
+def test_tp_transformer_matches_single_device():
+    """Megatron head-sharded attention + col/row MLP: the whole transformer
+    trains identically to single-device (embedding/positional params run
+    as replicated traced leaves)."""
+    x, y = _token_data()
+    tp = TensorParallel(_transformer_model(1),
+                        mesh=make_mesh(8, axis_name="model"))
+    ref = _transformer_model(1)
+    for _ in range(4):
+        np.testing.assert_allclose(float(tp.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=2e-5, atol=1e-6)
+    gathered = tp.gather_params()
+    for layer_tp, layer_ref in zip(gathered, ref._params):
+        for k in layer_ref:
+            np.testing.assert_allclose(
+                layer_tp[k], np.asarray(layer_ref[k]),
+                rtol=3e-4, atol=1e-5)
+
+
+def test_tp_transformer_shard_layout():
+    x, y = _token_data(8)
+    tp = TensorParallel(_transformer_model(2),
+                        mesh=make_mesh(8, axis_name="model"))
+    tp.train_step(x, y)
+    # block layer index 2 (emb, pos, block, block, pool, dense)
+    blk = tp._params[2]
+    assert blk["wq"].shape == (32, 32)
+    assert blk["wq"].addressable_shards[0].data.shape == (32, 4)  # col
+    assert blk["wo"].addressable_shards[0].data.shape == (4, 32)  # row
+    assert blk["w1"].addressable_shards[0].data.shape == (32, 16)  # col
+    assert blk["w2"].addressable_shards[0].data.shape == (16, 32)  # row
+    assert blk["g1"].addressable_shards[0].data.shape == (1, 32)  # rep
+    # embedding table replicated
+    emb = tp._params[0]["w"]
+    assert emb.addressable_shards[0].data.shape == (16, 32)
+
+
+def test_tp_transformer_rejects_bad_head_count():
+    x, y = _token_data(8)
+    tp = TensorParallel(_transformer_model(3, heads=4),  # 4 % 8 != 0
+                        mesh=make_mesh(8, axis_name="model"))
+    with pytest.raises(ValueError):
+        tp.train_step(x, y)

@@ -21,9 +21,14 @@ weights stay sharded (each device updates its own shard); gradients of
 replicated params (biases of row layers, all batch-path tensors) are
 psum-reduced where the forward broadcast them.
 
-Scope (round 1): pure Dense/Activation stacks with even hidden widths —
-exactly the flagship MLP family. Layers are paired (col, row) from the
-front; an odd trailing Dense runs replicated.
+Scope: Dense/Activation stacks (paired col/row from the front, odd
+trailing Dense replicated) AND TransformerBlocks — Megatron attention:
+wq/wk/wv column-sharded by head group (attention itself is embarrassingly
+parallel over local heads), wo row-sharded; MLP w1 column / w2 row. One
+psum per attention, one per MLP; the replicated-input fan-outs carry the
+"f" conjugate (ops.replicate_grad_) so backward reassembles full input
+cotangents. Embedding/positional/other replicated-param layers train as
+traced replicated leaves.
 """
 
 import numpy as np
@@ -32,8 +37,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
-from tinynn_autograd_tpu.nn.layers import Activation, Dense
+from tinynn_autograd_tpu.nn.layers import Dense, TransformerBlock
 from tinynn_autograd_tpu.parallel.mesh import make_mesh
 
 
@@ -75,13 +81,26 @@ class TensorParallel:
 
     def _plan_layout(self):
         """Pair Dense layers (col, row, col, row, ...); each pair's inner
-        width must divide by the mesh. Non-Dense layers are pass-through."""
+        width must divide by the mesh. TransformerBlocks are head-sharded
+        (Megatron attention: wq/wk/wv column by head group, wo row; MLP w1
+        col / w2 row). Other layers run replicated."""
         denses = [l for l in self.net.layers if isinstance(l, Dense)]
         for layer in self.net.layers:
-            if not isinstance(layer, (Dense, Activation)):
+            if hasattr(layer, "set_rng"):
+                # stochastic layers (dropout) would bake a constant mask
+                # into the traced step — refuse instead of training wrong
                 raise ValueError(
-                    "TensorParallel supports Dense/Activation stacks; got %s"
-                    % layer.name)
+                    "TensorParallel does not support stochastic layers; "
+                    "got %s" % layer.name)
+            if isinstance(layer, TransformerBlock):
+                if layer.num_heads % self.n_devices:
+                    raise ValueError(
+                        "%d heads don't divide over %d devices"
+                        % (layer.num_heads, self.n_devices))
+                if layer.shapes["w1"][1] % self.n_devices:
+                    raise ValueError(
+                        "MLP hidden %d doesn't divide over %d devices"
+                        % (layer.shapes["w1"][1], self.n_devices))
         layout = []
         i = 0
         while i < len(denses):
@@ -103,10 +122,18 @@ class TensorParallel:
             return P(self.axis_name, None)   # W [H/n, D']
         return P()                            # row bias + replicated layers
 
+    def _block_spec(self, name):
+        """Megatron layout for a TransformerBlock's flat param dict."""
+        if name in ("wq", "wk", "wv", "w1", "b1"):
+            return P(None, self.axis_name)    # column (output) sharded
+        if name in ("wo", "w2"):
+            return P(self.axis_name, None)    # row (input) sharded
+        return P()                            # norms + output biases
+
     def _shard_params(self):
         """Split the (initialized, replicated) layer params across the mesh
         according to the layout; returns the sharded pytree."""
-        denses = self._plan_layout()
+        self._plan_layout()
         tree = []
         dense_i = 0
         self._specs = []
@@ -117,10 +144,24 @@ class TensorParallel:
                 kind = self._layout[dense_i]
                 for name, ts in layer.params.items():
                     spec = self._shard_spec(kind, name)
-                    sharding = NamedSharding(self.mesh, spec)
-                    layer_tree[name] = jax.device_put(ts.data, sharding)
+                    layer_tree[name] = jax.device_put(
+                        ts.data, NamedSharding(self.mesh, spec))
                     layer_specs[name] = spec
                 dense_i += 1
+            elif isinstance(layer, TransformerBlock):
+                for name, ts in layer.params.items():
+                    spec = self._block_spec(name)
+                    layer_tree[name] = jax.device_put(
+                        ts.data, NamedSharding(self.mesh, spec))
+                    layer_specs[name] = spec
+            else:
+                # any other layer's params run replicated
+                for name, ts in layer.params.items():
+                    if ts is None:
+                        continue
+                    layer_tree[name] = jax.device_put(
+                        ts.data, NamedSharding(self.mesh, P()))
+                    layer_specs[name] = P()
             self._specs.append(layer_specs)
             tree.append(layer_tree)
         return tree
@@ -142,23 +183,66 @@ class TensorParallel:
                 tensors.append({"w": w, "b": b})
                 if kind == "row":
                     # input h is output-sharded from the preceding col layer
-                    from tinynn_autograd_tpu.ops import psum_
-
-                    h = psum_(h @ w, axis) + b
+                    h = ops.psum_(h @ w, axis) + b
                 elif kind == "col":
                     # Megatron "f": identity fwd, psum bwd — the input is
                     # replicated but each device's backward only produces
                     # its head/column shard's PARTIAL input cotangent
-                    from tinynn_autograd_tpu.ops import replicate_grad_
-
-                    h = replicate_grad_(h, axis) @ w + b
+                    h = ops.replicate_grad_(h, axis) @ w + b
                 else:  # rep: replicated weights, replicated activations
                     h = h @ w + b
                 dense_i += 1
+            elif isinstance(layer, TransformerBlock):
+                h, p = self._tp_block_forward(layer, params[li], h)
+                tensors.append(p)
+            elif params[li]:
+                # replicated-param layer: bind traced params so they train
+                bound = {}
+                for name, arr in params[li].items():
+                    t = Tensor(arr, requires_grad=True)
+                    layer.params[name] = t
+                    bound[name] = t
+                h = layer.forward(h)
+                tensors.append(bound)
             else:
                 h = layer.forward(h)
                 tensors.append({})
         return h, tensors
+
+    def _tp_block_forward(self, layer, params, h):
+        """Megatron head-sharded TransformerBlock forward on local shards:
+        attention runs on H/n local heads with NO communication, wo/w2 are
+        row-parallel (one psum each), and the two replicated-input fan-outs
+        carry the "f" operator so backward reassembles the full input
+        cotangents. Numerics == the replicated block."""
+        axis = self.axis_name
+        n = self.n_devices
+        p = {k: Tensor(v, requires_grad=True) for k, v in params.items()}
+        b, t, d = h.shape
+        h_loc = layer.num_heads // n
+        hd = layer.head_dim
+
+        def split_heads(x):  # [B,T,D/n] -> [B,H/n,T,hd]
+            return x.reshape((b, t, h_loc, hd)).transpose((0, 2, 1, 3))
+
+        xn = ops.layer_norm_(h, p["g1"], p["be1"], eps=layer.eps)
+        xf = ops.replicate_grad_(xn, axis)
+        q = split_heads(xf @ p["wq"])
+        k = split_heads(xf @ p["wk"])
+        v = split_heads(xf @ p["wv"])
+        scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
+        mask = layer._mask(t)
+        if mask is not None:
+            scores = scores + mask
+        attn = ops.softmax_(scores, axis=-1)
+        ctx = (attn @ v).transpose((0, 2, 1, 3)).reshape((b, t, d // n))
+        x2 = h + ops.psum_(ctx @ p["wo"], axis)
+
+        yn = ops.layer_norm_(x2, p["g2"], p["be2"], eps=layer.eps)
+        yf = ops.replicate_grad_(yn, axis)
+        y = ops.gelu_(yf @ p["w1"] + p["b1"]) @ p["w2"]
+        out = x2 + ops.psum_(y, axis) + p["b2"]
+        return out, p
 
     # -------------------------------------------------------------- build
 
@@ -260,16 +344,8 @@ class TensorParallel:
     def gather_params(self):
         """Reassemble the full (unsharded) parameter pytree on host —
         e.g. to load back into a plain Model."""
-        out = []
-        dense_i = 0
-        for li, layer in enumerate(self.net.layers):
-            if not isinstance(layer, Dense):
-                out.append({})
-                continue
-            kind = self._layout[dense_i]
-            dense_i += 1
-            layer_out = {}
-            for name, arr in self._params[li].items():
-                layer_out[name] = np.asarray(arr)  # jax gathers shards
-            out.append(layer_out)
-        return out
+        return [
+            {name: np.asarray(arr)  # jax gathers shards transparently
+             for name, arr in layer_tree.items()}
+            for layer_tree in self._params
+        ]
