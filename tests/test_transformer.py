@@ -134,3 +134,31 @@ def test_transformer_scanned_epoch_and_checkpoint(tmp_path):
     l1 = float(m.train_step(x, y))
     l2 = float(m2.train_step(x, y))
     np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-7)
+
+
+def test_tiny_lm_learns_deterministic_grammar():
+    from tinynn_autograd_tpu.models import build_tiny_lm
+
+    random_seed(5)
+    V, T = 11, 8
+    net = build_tiny_lm(vocab=V, seq_len=T, dim=32, heads=4, depth=1)
+    m = Model(net, SoftmaxCrossEntropyLoss(), Adam(3e-3))
+    rng = np.random.RandomState(0)
+    eye = np.eye(V, dtype=np.float32)
+    losses = []
+    for _ in range(150):
+        seq = np.empty((32, T + 1), np.int64)
+        seq[:, 0] = rng.randint(0, V, 32)
+        for t in range(T):
+            seq[:, t + 1] = (3 * seq[:, t] + 1) % V
+        x, tgt = seq[:, :-1], seq[:, 1:]
+        logits = m.forward(Tensor(x)).reshape((32 * T, V))
+        m.zero_grad()
+        loss_t = m.loss.loss(logits, Tensor(eye[tgt.reshape(-1)]))
+        loss_t.backward()
+        m.step()
+        losses.append(float(loss_t.data))
+    assert losses[-1] < 0.05, losses[-1]
+    # predictions follow the grammar
+    pred = m.forward(Tensor(x)).numpy().argmax(-1)
+    assert (pred == (3 * x + 1) % V).mean() > 0.98
