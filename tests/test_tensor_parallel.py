@@ -216,3 +216,51 @@ def test_tp_transformer_rejects_bad_head_count():
                         mesh=make_mesh(8, axis_name="model"))
     with pytest.raises(ValueError):
         tp.train_step(x, y)
+
+
+def test_tp_transformer_sequence_parallel_matches_single_device():
+    """Megatron-SP: sequence-sharded activations between blocks with
+    all-gather/reduce-scatter conjugate transitions must train identically
+    to single-device (and to plain TP)."""
+    from tinynn_autograd_tpu.models import build_tiny_transformer
+
+    def mk(seed):
+        random_seed(seed)
+        net = build_tiny_transformer(vocab=16, seq_len=16, dim=32, heads=8,
+                                     depth=2, num_out=16)
+        return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 16, (32, 16))
+    y = np.eye(16, dtype=np.float32)[x[:, 0]]
+    sp = TensorParallel(mk(1), mesh=make_mesh(8, axis_name="model"),
+                        sequence_parallel=True)
+    ref = mk(1)
+    for _ in range(4):
+        np.testing.assert_allclose(float(sp.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=2e-5, atol=1e-6)
+    gathered = sp.gather_params()
+    for layer_tp, layer_ref in zip(gathered, ref._params):
+        for k in layer_ref:
+            np.testing.assert_allclose(
+                layer_tp[k], np.asarray(layer_ref[k]),
+                rtol=3e-4, atol=1e-5)
+
+
+def test_tp_sequence_parallel_rejects_indivisible_seq():
+    def mk():
+        random_seed(2)
+        from tinynn_autograd_tpu.models import build_tiny_transformer
+
+        net = build_tiny_transformer(vocab=16, seq_len=12, dim=32, heads=8,
+                                     depth=1, num_out=16)
+        return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 16, (16, 12))
+    y = np.eye(16, dtype=np.float32)[x[:, 0]]
+    sp = TensorParallel(mk(), mesh=make_mesh(8, axis_name="model"),
+                        sequence_parallel=True)
+    with pytest.raises(ValueError):
+        sp.train_step(x, y)  # 12 % 8 != 0

@@ -19,6 +19,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     dropout_,
     exp_,
     flatten_,
+    gather_axis_,
     gelu_,
     getitem_,
     layer_norm_,
@@ -44,6 +45,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     reshape_,
     sigmoid_,
     softmax_,
+    split_axis_,
     softplus_,
     sqrt_,
     sub_,

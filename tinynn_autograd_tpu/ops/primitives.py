@@ -1073,38 +1073,83 @@ def psum_(ts, axis_name):
     return build_unary_ops_tensor(ts, grad_fn, values)
 
 
-def all_gather_(ts, axis_name):
-    """Tiled all-gather over a mesh axis as a tape primitive: local [c, ...]
-    chunks concatenate (in axis-index order) to a replicated [S*c, ...].
+def all_gather_(ts, axis_name, axis=0):
+    """Tiled all-gather over a mesh axis as a tape primitive: local chunks
+    (size c on array axis ``axis``) concatenate in axis-index order to a
+    replicated S*c extent.
 
     VJP is the dual collective, reduce-scatter: every device's cotangent
     chunk s belongs to device s, so each device receives the psum of its own
     chunk — ``lax.psum_scatter``. (With per-device DIFFERENT downstream
-    compute — e.g. microbatch-sharded segments — this is the mathematically
-    correct adjoint; an identity VJP would drop other devices' cotangents.)
+    compute — e.g. microbatch- or sequence-sharded segments — this is the
+    mathematically correct adjoint; an identity VJP would drop other
+    devices' cotangents.)
     """
-    values = jax.lax.all_gather(ts.data, axis_name=axis_name, tiled=True)
+    values = jax.lax.all_gather(ts.data, axis_name=axis_name, axis=axis,
+                                tiled=True)
 
     def grad_fn(grad):
         return jax.lax.psum_scatter(grad, axis_name=axis_name,
-                                    scatter_dimension=0, tiled=True)
+                                    scatter_dimension=axis, tiled=True)
 
     return build_unary_ops_tensor(ts, grad_fn, values)
 
 
-def psum_scatter_(ts, axis_name):
-    """Tiled reduce-scatter over a mesh axis as a tape primitive: [S*c, ...]
-    per-device inputs are summed elementwise across devices and device s
-    keeps chunk s of the sum ([c, ...]).
+def psum_scatter_(ts, axis_name, axis=0):
+    """Tiled reduce-scatter over a mesh axis as a tape primitive: inputs
+    are summed elementwise across devices and device s keeps chunk s along
+    array axis ``axis``.
 
     VJP is the dual collective, all-gather: input chunk s (on every device)
     contributed only to device s's output, so its cotangent is device s's —
     gathered back into the full-length layout."""
     values = jax.lax.psum_scatter(ts.data, axis_name=axis_name,
-                                  scatter_dimension=0, tiled=True)
+                                  scatter_dimension=axis, tiled=True)
 
     def grad_fn(grad):
-        return jax.lax.all_gather(grad, axis_name=axis_name, tiled=True)
+        return jax.lax.all_gather(grad, axis_name=axis_name, axis=axis,
+                                  tiled=True)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def split_axis_(ts, axis_name, n_devices, axis=0):
+    """Sequence-parallel entry transition: slice a REPLICATED tensor into
+    per-device chunks along array axis ``axis`` (device s keeps chunk s).
+
+    VJP all-gathers the per-device chunk cotangents back into the full
+    replicated layout — each chunk's gradient lives on exactly one device,
+    so the gather (not a psum) is the exact adjoint."""
+    x = ts.data
+    c = x.shape[axis] // n_devices
+    idx = jax.lax.axis_index(axis_name)
+    values = jax.lax.dynamic_slice_in_dim(x, idx * c, c, axis)
+
+    def grad_fn(grad):
+        return jax.lax.all_gather(grad, axis_name=axis_name, axis=axis,
+                                  tiled=True)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
+def gather_axis_(ts, axis_name, n_devices, axis=0):
+    """Sequence-parallel EXIT transition: all-gather per-device chunks into
+    the replicated layout — the inverse of ``split_axis_``.
+
+    VJP slices the device's own chunk back out. This differs from
+    ``all_gather_`` (whose VJP is a reduce-scatter) on purpose: downstream
+    of THIS gather every device redundantly computes the same replicated
+    values, so the cotangent is already replicated and each chunk's
+    gradient is read off directly — a psum there would n-fold overcount.
+    Use ``all_gather_`` when downstream compute differs per device (sharded
+    branches), ``gather_axis_`` when it is replicated."""
+    values = jax.lax.all_gather(ts.data, axis_name=axis_name, axis=axis,
+                                tiled=True)
+    c = ts.shape[axis]
+
+    def grad_fn(grad):
+        idx = jax.lax.axis_index(axis_name)
+        return jax.lax.dynamic_slice_in_dim(grad, idx * c, c, axis)
 
     return build_unary_ops_tensor(ts, grad_fn, values)
 

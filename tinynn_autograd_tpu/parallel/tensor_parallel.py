@@ -29,6 +29,15 @@ psum per attention, one per MLP; the replicated-input fan-outs carry the
 "f" conjugate (ops.replicate_grad_) so backward reassembles full input
 cotangents. Embedding/positional/other replicated-param layers train as
 traced replicated leaves.
+
+``sequence_parallel=True`` switches the block chain to Megatron-SP:
+activations between blocks live sequence-sharded [B, T/n, D], entered via
+``split_axis_`` (VJP: all-gather) and exited via ``gather_axis_`` (VJP:
+slice); inside each block the fan-out becomes ``all_gather_`` over the
+sequence (VJP: reduce-scatter) and the fan-in ``psum_scatter_`` (VJP:
+all-gather) — the g/g-bar conjugates. Same bytes on the wire as the psum
+pair, 1/n the norm/residual compute and activation memory; grads of the
+seq-local replicated params (norm scales, output bias) get one psum.
 """
 
 import numpy as np
@@ -54,11 +63,20 @@ class TensorParallel:
     """
 
     def __init__(self, model, mesh=None, n_devices=None, axis_name="model",
-                 data_axis=None):
+                 data_axis=None, sequence_parallel=False):
         """``data_axis``: name of a SECOND mesh axis to data-parallelize
         over (2-D hybrid DP x TP): the batch is sharded along it and
-        gradients are pmean-reduced across it before the optimizer."""
+        gradients are pmean-reduced across it before the optimizer.
+
+        ``sequence_parallel``: Megatron-SP for TransformerBlock chains —
+        activations between blocks are SEQUENCE-sharded [B, T/n, D]
+        (norms/residuals run on 1/n of the rows), and the TP fan-in/out
+        psums become all-gather (entering attention/MLP) and
+        reduce-scatter (leaving) — same total bytes on the wire, 1/n the
+        normalization/residual compute and activation memory. Sequence
+        length must divide by the mesh."""
         self.model = model
+        self.sequence_parallel = sequence_parallel
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, axis_name)
         self.axis_name = axis_name
@@ -174,8 +192,16 @@ class TensorParallel:
         axis = self.axis_name
         h = Tensor(x)
         dense_i = 0
+        seq_sharded = False   # Megatron-SP region: h is [B, T/n, D]
         tensors = []   # per-layer dict of param Tensors (for grads)
         for li, layer in enumerate(self.net.layers):
+            if (seq_sharded
+                    and not isinstance(layer, TransformerBlock)):
+                # leaving the block chain: back to the replicated layout
+                # (gather_axis_, NOT all_gather_: downstream is replicated,
+                # so the VJP must slice, not reduce-scatter)
+                h = ops.gather_axis_(h, axis, self.n_devices, axis=1)
+                seq_sharded = False
             if isinstance(layer, Dense):
                 kind = self._layout[dense_i]
                 w = Tensor(params[li]["w"], requires_grad=True)
@@ -193,7 +219,15 @@ class TensorParallel:
                     h = h @ w + b
                 dense_i += 1
             elif isinstance(layer, TransformerBlock):
-                h, p = self._tp_block_forward(layer, params[li], h)
+                if self.sequence_parallel and not seq_sharded:
+                    if h.shape[1] % self.n_devices:
+                        raise ValueError(
+                            "sequence length %d doesn't divide over %d "
+                            "devices" % (h.shape[1], self.n_devices))
+                    h = ops.split_axis_(h, axis, self.n_devices, axis=1)
+                    seq_sharded = True
+                h, p = self._tp_block_forward(layer, params[li], h,
+                                              seq_sharded)
                 tensors.append(p)
             elif params[li]:
                 # replicated-param layer: bind traced params so they train
@@ -207,26 +241,47 @@ class TensorParallel:
             else:
                 h = layer.forward(h)
                 tensors.append({})
+        if seq_sharded:
+            h = ops.gather_axis_(h, axis, self.n_devices, axis=1)
         return h, tensors
 
-    def _tp_block_forward(self, layer, params, h):
+    def _tp_block_forward(self, layer, params, h, seq_sharded=False):
         """Megatron head-sharded TransformerBlock forward on local shards:
         attention runs on H/n local heads with NO communication, wo/w2 are
-        row-parallel (one psum each), and the two replicated-input fan-outs
-        carry the "f" operator so backward reassembles the full input
-        cotangents. Numerics == the replicated block."""
+        row-parallel. Two layouts:
+
+        - plain TP (seq_sharded=False): h replicated; fan-outs carry the
+          "f" operator (identity fwd / psum bwd), fan-ins are psums.
+        - Megatron-SP (seq_sharded=True): h is sequence-sharded [B,T/n,D];
+          norms/residuals run on local rows, the fan-out is an all-gather
+          over the sequence (VJP = reduce-scatter) and the fan-in a
+          reduce-scatter (VJP = all-gather) — same wire bytes as the psum,
+          1/n the norm/residual compute and activation memory.
+
+        Numerics == the replicated block either way."""
         axis = self.axis_name
         n = self.n_devices
         p = {k: Tensor(v, requires_grad=True) for k, v in params.items()}
-        b, t, d = h.shape
+        b, t_loc, d = h.shape
+        t = t_loc * n if seq_sharded else t_loc
         h_loc = layer.num_heads // n
         hd = layer.head_dim
 
         def split_heads(x):  # [B,T,D/n] -> [B,H/n,T,hd]
             return x.reshape((b, t, h_loc, hd)).transpose((0, 2, 1, 3))
 
+        def fan_out(x):
+            if seq_sharded:
+                return ops.all_gather_(x, axis, axis=1)   # Megatron g
+            return ops.replicate_grad_(x, axis)           # Megatron f
+
+        def fan_in(x):
+            if seq_sharded:
+                return ops.psum_scatter_(x, axis, axis=1)
+            return ops.psum_(x, axis)
+
         xn = ops.layer_norm_(h, p["g1"], p["be1"], eps=layer.eps)
-        xf = ops.replicate_grad_(xn, axis)
+        xf = fan_out(xn)
         q = split_heads(xf @ p["wq"])
         k = split_heads(xf @ p["wk"])
         v = split_heads(xf @ p["wv"])
@@ -236,12 +291,12 @@ class TensorParallel:
             scores = scores + mask
         attn = ops.softmax_(scores, axis=-1)
         ctx = (attn @ v).transpose((0, 2, 1, 3)).reshape((b, t, d // n))
-        x2 = h + ops.psum_(ctx @ p["wo"], axis)
+        x2 = h + fan_in(ctx @ p["wo"])
 
         yn = ops.layer_norm_(x2, p["g2"], p["be2"], eps=layer.eps)
-        yf = ops.replicate_grad_(yn, axis)
+        yf = fan_out(yn)
         y = ops.gelu_(yf @ p["w1"] + p["b1"]) @ p["w2"]
-        out = x2 + ops.psum_(y, axis) + p["b2"]
+        out = x2 + fan_in(y) + p["b2"]
         return out, p
 
     # -------------------------------------------------------------- build
@@ -268,6 +323,15 @@ class TensorParallel:
             # replicated forward: identical already EXCEPT biases of col
             # layers are sharded (fine) and 'rep' dense grads are identical.
             # Batch-path grads never leave the shard.
+            if self.sequence_parallel:
+                # under Megatron-SP, norms/residual biases see only the
+                # LOCAL sequence rows — their replicated grads are partial
+                # sums and need one all-reduce
+                for li, lyr in enumerate(self.net.layers):
+                    if isinstance(lyr, TransformerBlock) and grads[li]:
+                        for kk in ("g1", "be1", "g2", "be2", "b2"):
+                            grads[li][kk] = jax.lax.psum(
+                                grads[li][kk], axis)
             if data_axis is not None:
                 # hybrid DP x TP: all-reduce grads over the data axis
                 grads = jax.tree.map(
