@@ -1,0 +1,109 @@
+"""Switch-style top-1 MoE layer + expert parallelism: forward vs a numpy
+oracle, training convergence, and sharded-experts parity with
+single-device training on the simulated 8-device mesh."""
+
+import numpy as np
+import pytest
+
+from tinynn_autograd_tpu import Tensor
+from tinynn_autograd_tpu.nn.layers import Dense, MoE, ReLU
+from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+from tinynn_autograd_tpu.nn.model import Model
+from tinynn_autograd_tpu.nn.net import Net
+from tinynn_autograd_tpu.nn.optimizer import Adam, SGD
+from tinynn_autograd_tpu.parallel import ExpertParallel, make_mesh
+from tinynn_autograd_tpu.utils.seeder import random_seed
+
+
+def test_moe_forward_matches_numpy_oracle():
+    random_seed(1)
+    moe = MoE(num_experts=3, dim=8, hidden=16)
+    rng = np.random.RandomState(0)
+    x = rng.randn(10, 8).astype(np.float32)
+    out = np.asarray(moe.forward(Tensor(x)).data)
+
+    wg = np.asarray(moe.params["wg"].data, np.float64)
+    w1 = np.asarray(moe.params["w1"].data, np.float64)
+    b1 = np.asarray(moe.params["b1"].data, np.float64)
+    w2 = np.asarray(moe.params["w2"].data, np.float64)
+    b2 = np.asarray(moe.params["b2"].data, np.float64)
+    logits = x.astype(np.float64) @ wg
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    choice = probs.argmax(-1)
+    want = np.zeros((10, 8))
+    for i in range(10):
+        c = choice[i]
+        h = np.maximum(x[i].astype(np.float64) @ w1[c] + b1[c, 0], 0.0)
+        want[i] = (h @ w2[c] + b2[c, 0]) * probs[i, c]
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-6)
+
+
+def test_moe_trains_in_fused_step():
+    random_seed(0)
+    net = Net([Dense(32, num_in=16), ReLU(),
+               MoE(num_experts=4, dim=32, hidden=64), Dense(8, num_in=32)])
+    m = Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(128, 16).astype(np.float32)
+    y = np.eye(8, dtype=np.float32)[rng.randint(0, 8, 128)]
+    losses = [float(m.train_step(x, y)) for _ in range(60)]
+    assert losses[-1] < losses[0] * 0.2
+
+
+def _ep_model(seed):
+    random_seed(seed)
+    net = Net([Dense(32, num_in=16), ReLU(),
+               MoE(num_experts=8, dim=32, hidden=64), Dense(8, num_in=32)])
+    return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+
+def _data(n=64):
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, 16).astype(np.float32)
+    y = np.eye(8, dtype=np.float32)[rng.randint(0, 8, n)]
+    return x, y
+
+
+def test_expert_parallel_matches_single_device():
+    x, y = _data()
+    ep = ExpertParallel(_ep_model(1), mesh=make_mesh(8, axis_name="expert"))
+    ref = _ep_model(1)
+    for _ in range(4):
+        np.testing.assert_allclose(float(ep.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=2e-5, atol=1e-6)
+    for layer_ep, layer_ref in zip(ep.gather_params(), ref._params):
+        for k in layer_ref:
+            np.testing.assert_allclose(
+                layer_ep[k], np.asarray(layer_ref[k]),
+                rtol=3e-4, atol=1e-5)
+
+
+def test_expert_parallel_shard_layout():
+    x, y = _data(16)
+    ep = ExpertParallel(_ep_model(2), mesh=make_mesh(8, axis_name="expert"))
+    ep.train_step(x, y)
+    moe = ep._params[2]
+    assert moe["w1"].shape == (8, 32, 64)
+    assert moe["w1"].addressable_shards[0].data.shape == (1, 32, 64)
+    assert moe["wg"].addressable_shards[0].data.shape == (32, 8)  # rep
+
+
+def test_expert_parallel_validations():
+    x, y = _data(16)
+    # experts don't divide
+    random_seed(3)
+    net = Net([MoE(num_experts=6, dim=16, hidden=32)])
+    ep = ExpertParallel(Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1)),
+                        mesh=make_mesh(8, axis_name="expert"))
+    with pytest.raises(ValueError):
+        ep.train_step(x, np.eye(16, dtype=np.float32)[np.zeros(16, int)])
+    # no MoE at all
+    random_seed(4)
+    ep2 = ExpertParallel(
+        Model(Net([Dense(8, num_in=16)]), SoftmaxCrossEntropyLoss(),
+              SGD(lr=0.1)),
+        mesh=make_mesh(8, axis_name="expert"))
+    with pytest.raises(ValueError):
+        ep2.train_step(x, np.eye(8, dtype=np.float32)[np.zeros(16, int)])

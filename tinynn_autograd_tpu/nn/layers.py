@@ -266,6 +266,100 @@ class TransformerBlock(Layer):
         return x + y
 
 
+class MoE(Layer):
+    """Switch-style top-1 mixture-of-experts MLP over the last axis:
+    each token is routed to ONE expert (argmax of a softmax gate) and the
+    output is scaled by the chosen gate probability, so the router trains
+    through the probability (the standard straight-through-free Switch
+    gradient; the discrete CHOICE itself is not differentiated).
+
+    Compute is the exact dense-select formulation — every expert runs on
+    every token and a one-hot mask selects — which keeps the numerics
+    bit-deterministic and lets parallel.ExpertParallel shard the EXPERTS
+    across a mesh with one psum, remaining exactly equal to single-device.
+    Params are stacked [E, ...] leaves (batched matmuls on the MXU).
+    No reference counterpart."""
+
+    def __init__(self, num_experts, dim=None, hidden=None, w_init=None,
+                 gate_init=None):
+        super().__init__("MoE")
+        self.num_experts = num_experts
+        self.dim = dim
+        self.hidden = hidden
+        self._w_init = w_init if w_init is not None else XavierUniformInit()
+        self._g_init = (gate_init if gate_init is not None
+                        else NormalInit(std=0.02))
+        self.params = {"wg": None, "w1": None, "b1": None,
+                       "w2": None, "b2": None}
+        self.shapes = {}
+        self._is_init = False
+        if dim is not None:
+            self._init_parameters(dim)
+
+    @property
+    def is_init(self):
+        return self._is_init
+
+    def _init_parameters(self, dim):
+        from tinynn_autograd_tpu.core.tensor import Tensor
+
+        dim = int(dim)
+        self.dim = dim
+        hidden = self.hidden if self.hidden is not None else 4 * dim
+        self.hidden = hidden
+        E = self.num_experts
+        self.shapes = {"wg": [dim, E], "w1": [E, dim, hidden],
+                       "b1": [E, 1, hidden], "w2": [E, hidden, dim],
+                       "b2": [E, 1, dim]}
+        self.params["wg"] = self._g_init(self.shapes["wg"])
+        # per-expert fan-correct draws, stacked
+        w1 = [self._w_init((dim, hidden)).data for _ in range(E)]
+        w2 = [self._w_init((hidden, dim)).data for _ in range(E)]
+        import jax.numpy as jnp
+
+        self.params["w1"] = Tensor(jnp.stack(w1), requires_grad=True)
+        self.params["w2"] = Tensor(jnp.stack(w2), requires_grad=True)
+        self.params["b1"] = Tensor(jnp.zeros((E, 1, hidden)),
+                                   requires_grad=True)
+        self.params["b2"] = Tensor(jnp.zeros((E, 1, dim)),
+                                   requires_grad=True)
+        self._is_init = True
+
+    def init_params(self, input_shape):
+        if not self._is_init:
+            self._init_parameters(input_shape[-1])
+        return tuple(input_shape)
+
+    def route(self, inputs):
+        """(probs Tensor [N, E], one-hot mask array [N, E]) for flattened
+        tokens; the argmax choice is data-dependent but shape-static."""
+        import jax.numpy as jnp
+
+        flat = inputs.reshape((-1, self.dim))
+        probs = ops.softmax_(flat @ self.params["wg"], axis=-1)
+        choice = jnp.argmax(probs.data, axis=-1)
+        onehot = jnp.eye(self.num_experts, dtype=jnp.float32)[choice]
+        return flat, probs, onehot
+
+    def expert_outputs(self, flat, w1, b1, w2, b2):
+        """All experts on all tokens: [E, N, D] (batched MXU matmuls)."""
+        h = ops.relu_(flat.reshape((1,) + tuple(flat.shape)) @ w1 + b1)
+        return h @ w2 + b2
+
+    def forward(self, inputs):
+        if not self._is_init:
+            self._init_parameters(inputs.shape[-1])
+        shape = inputs.shape
+        flat, probs, onehot = self.route(inputs)
+        out_e = self.expert_outputs(flat, self.params["w1"],
+                                    self.params["b1"], self.params["w2"],
+                                    self.params["b2"])
+        # select each token's expert and scale by its gate probability
+        sel = ops.sum_(out_e * onehot.T[:, :, None], axis=0)
+        g = ops.sum_(probs * onehot, axis=-1, keepdims=True)
+        return (sel * g).reshape(shape)
+
+
 class GlobalAvgPool1D(Layer):
     """[B, T, D] -> [B, D]: mean over the sequence axis (readout head for
     sequence classifiers)."""
