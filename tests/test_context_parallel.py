@@ -75,3 +75,38 @@ def test_ring_attention_validations():
                           mesh=make_mesh(8, axis_name="ctx"))
     with pytest.raises(ValueError):
         bad.train_step(x12, y12)  # 12 % 8 != 0
+
+
+def test_ulysses_attention_matches_single_device():
+    """Ulysses mode: all_to_all re-shards seq<->heads — a pure permutation,
+    so forward values are bit-exact; params drift only by the grad-psum
+    reduction order."""
+    x, y = _data()
+
+    def mk(seed):
+        random_seed(seed)
+        net = build_tiny_transformer(vocab=16, seq_len=16, dim=32, heads=8,
+                                     depth=2, num_out=16)
+        return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+    u = ContextParallel(mk(1), mesh=make_mesh(8, axis_name="ctx"),
+                        mode="ulysses")
+    ref = mk(1)
+    for _ in range(4):
+        np.testing.assert_allclose(float(u.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=2e-5, atol=1e-6)
+    for layer_u, layer_ref in zip(u.gather_params(), ref._params):
+        for k in layer_ref:
+            np.testing.assert_allclose(layer_u[k],
+                                       np.asarray(layer_ref[k]),
+                                       rtol=3e-4, atol=1e-5)
+
+
+def test_ulysses_rejects_indivisible_heads():
+    x, y = _data()
+    bad = ContextParallel(_model(6, SGD(lr=0.1)),  # heads=4, mesh=8
+                          mesh=make_mesh(8, axis_name="ctx"),
+                          mode="ulysses")
+    with pytest.raises(ValueError):
+        bad.train_step(x, y)

@@ -6,6 +6,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     abs_,
     add_,
     all_gather_,
+    all_to_all_,
     astype_,
     batch_norm_,
     build_binary_ops_tensor,

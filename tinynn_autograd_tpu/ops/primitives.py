@@ -1113,6 +1113,24 @@ def psum_scatter_(ts, axis_name, axis=0):
     return build_unary_ops_tensor(ts, grad_fn, values)
 
 
+def all_to_all_(ts, axis_name, split_axis, concat_axis):
+    """All-to-all over a mesh axis as a tape primitive: re-shards the array
+    from ``concat_axis`` to ``split_axis`` (each device sends its
+    split_axis chunks and concatenates what it receives on concat_axis) —
+    the Ulysses attention transition (seq-sharded <-> head-sharded).
+
+    all_to_all is a data permutation across the mesh, so its VJP is the
+    INVERSE permutation: the same collective with the two axes swapped."""
+    values = jax.lax.all_to_all(ts.data, axis_name, split_axis=split_axis,
+                                concat_axis=concat_axis, tiled=True)
+
+    def grad_fn(grad):
+        return jax.lax.all_to_all(grad, axis_name, split_axis=concat_axis,
+                                  concat_axis=split_axis, tiled=True)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
 def split_axis_(ts, axis_name, n_devices, axis=0):
     """Sequence-parallel entry transition: slice a REPLICATED tensor into
     per-device chunks along array axis ``axis`` (device s keeps chunk s).

@@ -41,12 +41,21 @@ class ContextParallel:
         loss = cp.train_step(x, y)     # full batch, replicated
     """
 
-    def __init__(self, model, mesh=None, n_devices=None, axis_name="ctx"):
+    def __init__(self, model, mesh=None, n_devices=None, axis_name="ctx",
+                 mode="ring"):
+        """``mode``: "ring" rotates K/V chunks over ppermute (n-1 hops,
+        T^2/n score memory per device); "ulysses" re-shards seq<->heads
+        with two all_to_all pairs so attention runs on H/n full-sequence
+        heads per device (head count must divide by the mesh)."""
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, axis_name)
         self.axis_name = axis_name
         self.n_devices = int(self.mesh.devices.size)
+        if mode not in ("ring", "ulysses"):
+            raise ValueError("mode must be 'ring' or 'ulysses', got %r"
+                             % (mode,))
+        self.mode = mode
         self._params = None
         self._opt_state = None
         self._step_fn = None
@@ -63,8 +72,14 @@ class ContextParallel:
                     "got %s" % layer.name)
             if isinstance(layer, TransformerBlock) and layer.causal:
                 raise ValueError(
-                    "ring attention is non-causal for now (global position "
-                    "masking over the ring is not implemented)")
+                    "context-parallel attention is non-causal for now "
+                    "(global position masking is not implemented)")
+            if (self.mode == "ulysses"
+                    and isinstance(layer, TransformerBlock)
+                    and layer.num_heads % self.n_devices):
+                raise ValueError(
+                    "ulysses needs heads (%d) divisible by the mesh (%d)"
+                    % (layer.num_heads, self.n_devices))
 
     # ------------------------------------------------------------- forward
 
@@ -110,6 +125,39 @@ class ContextParallel:
         y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
         return x2 + y, p
 
+    def _ulysses_block_forward(self, layer, params, h):
+        """Ulysses attention on the sequence shard [B, T/n, D]: two
+        all_to_all pairs re-shard q/k/v from sequence- to HEAD-sharding
+        (each device attends over the FULL sequence for its H/n heads) and
+        the context back. Replicated params as traced leaves; their
+        (seq/head-local, hence partial) grads are psum'd by local_step."""
+        axis = self.axis_name
+        n = self.n_devices
+        p = {k: Tensor(v, requires_grad=True) for k, v in params.items()}
+        b, tl, d = h.shape
+        nh, hd = layer.num_heads, layer.head_dim
+
+        def split_heads(x):  # [B,Tl,D] -> [B,H,Tl,hd]
+            return x.reshape((b, tl, nh, hd)).transpose((0, 2, 1, 3))
+
+        def to_head_sharded(x):  # [B,H,Tl,hd] -> [B,H/n,T,hd]
+            return ops.all_to_all_(x, axis, split_axis=1, concat_axis=2)
+
+        xn = ops.layer_norm_(h, p["g1"], p["be1"], eps=layer.eps)
+        q = to_head_sharded(split_heads(xn @ p["wq"]))
+        k = to_head_sharded(split_heads(xn @ p["wk"]))
+        v = to_head_sharded(split_heads(xn @ p["wv"]))
+        scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
+        attn = ops.softmax_(scores, axis=-1)
+        ctx = attn @ v                                   # [B,H/n,T,hd]
+        ctx = ops.all_to_all_(ctx, axis, split_axis=2, concat_axis=1)
+        ctx = ctx.transpose((0, 2, 1, 3)).reshape((b, tl, d))
+        x2 = h + ctx @ p["wo"]
+
+        yn = ops.layer_norm_(x2, p["g2"], p["be2"], eps=layer.eps)
+        y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+        return x2 + y, p
+
     def _forward(self, params, x):
         axis = self.axis_name
         h = Tensor(x)
@@ -124,7 +172,10 @@ class ContextParallel:
                             "devices" % (h.shape[1], self.n_devices))
                     h = ops.split_axis_(h, axis, self.n_devices, axis=1)
                     seq_sharded = True
-                h, p = self._ring_block_forward(layer, params[li], h)
+                if self.mode == "ulysses":
+                    h, p = self._ulysses_block_forward(layer, params[li], h)
+                else:
+                    h, p = self._ring_block_forward(layer, params[li], h)
                 tensors.append(p)
                 continue
             if seq_sharded:
