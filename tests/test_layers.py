@@ -423,7 +423,6 @@ def test_batch_norm_predict_tracks_updated_running_stats():
     p2 = np.asarray(model.predict(x[:4]).data)
     assert not np.allclose(p1, p2), "predict used stale baked-in stats"
     # buffers stay concrete after the traced call
-    assert not hasattr(bn.buffers["mean"], "aval") or True
     import jax
 
     assert not isinstance(bn.buffers["mean"], jax.core.Tracer)

@@ -206,3 +206,20 @@ def test_prefetch_iterator_propagates_worker_errors():
     it = PrefetchIterator(iterator=Wrap())
     with pytest.raises(RuntimeError):
         list(it(np.zeros(3), np.zeros(3)))
+
+
+def test_prefetch_iterator_abandoned_early_releases_worker():
+    import threading
+
+    from tinynn_autograd_tpu.utils.data_iterator import PrefetchIterator
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(640, 4).astype(np.float32)
+    yv = rng.randn(640, 2).astype(np.float32)
+    before = threading.active_count()
+    for _ in range(3):
+        gen = PrefetchIterator(batch_size=32, shuffle=False)(x, yv)
+        next(gen)
+        gen.close()  # abandon with many batches left
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1

@@ -107,3 +107,16 @@ def test_expert_parallel_validations():
         mesh=make_mesh(8, axis_name="expert"))
     with pytest.raises(ValueError):
         ep2.train_step(x, np.eye(8, dtype=np.float32)[np.zeros(16, int)])
+
+
+def test_ep_no_tracer_leak_into_predict_and_save(tmp_path):
+    import os
+
+    x, y = _data(16)
+    ep = ExpertParallel(_ep_model(6), mesh=make_mesh(8, axis_name="expert"))
+    ep.train_step(x, y)
+    out = ep.model.predict(x[:4])
+    assert np.isfinite(np.asarray(out.data)).all()
+    path = os.path.join(str(tmp_path), "ep.pkl")
+    ep.model.save(path)
+    assert os.path.exists(path)

@@ -264,3 +264,48 @@ def test_tp_sequence_parallel_rejects_indivisible_seq():
                         sequence_parallel=True)
     with pytest.raises(ValueError):
         sp.train_step(x, y)  # 12 % 8 != 0
+
+
+def test_tp_no_tracer_leak_into_predict_and_save(tmp_path):
+    """Regression: after a TP train_step the live layers must hold CONCRETE
+    params again (tracers leaked before, breaking predict/save)."""
+    import os
+
+    x, y = _token_data(16)
+    tp = TensorParallel(_transformer_model(9),
+                        mesh=make_mesh(8, axis_name="model"))
+    tp.train_step(x, y)
+    out = tp.model.predict(x[:4])
+    assert np.isfinite(np.asarray(out.data)).all()
+    path = os.path.join(str(tmp_path), "tp.pkl")
+    tp.model.save(path)
+    assert os.path.exists(path)
+
+
+def test_tp_mixed_dense_and_block_layout():
+    """Dense pairing must not span a TransformerBlock (feature-sharded
+    activations would hit the block's full-width norms)."""
+    from tinynn_autograd_tpu.nn.layers import TransformerBlock
+
+    def mk(seed):
+        random_seed(seed)
+        net = Net([Dense(32, num_in=16), ReLU(),
+                   TransformerBlock(32, 8),
+                   Dense(4, num_in=32)])
+        return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 6, 16).astype(np.float32)
+    # classify from the pooled... keep it simple: feed 3-D through Dense
+    # (batched) + block; loss over mean-pooled features needs a pool; use
+    # block output position 0 via a plain Dense head after flatten? —
+    # simplest: train on the per-position logits reshaped
+    tp = TensorParallel(mk(1), mesh=make_mesh(8, axis_name="model"))
+    ref = mk(1)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 8 * 6)]
+
+    # manual loss over flattened positions using predict-style forward is
+    # overkill; train_step with 3-D x and [N*T, C] y isn't the Model
+    # contract — instead just check the layout is per-run ("rep", "rep")
+    tp._plan_layout()
+    assert tp._layout == ["rep", "rep"]

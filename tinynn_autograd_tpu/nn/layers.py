@@ -331,8 +331,9 @@ class MoE(Layer):
         return tuple(input_shape)
 
     def route(self, inputs):
-        """(probs Tensor [N, E], one-hot mask array [N, E]) for flattened
-        tokens; the argmax choice is data-dependent but shape-static."""
+        """Returns (flat tokens Tensor [N, D], probs Tensor [N, E],
+        one-hot mask array [N, E]); the argmax choice is data-dependent
+        but shape-static."""
         import jax.numpy as jnp
 
         flat = inputs.reshape((-1, self.dim))

@@ -31,6 +31,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
 from tinynn_autograd_tpu.nn.layers import TransformerBlock
+from tinynn_autograd_tpu.parallel._common import (
+    bind_traced_layer, rebind_concrete,
+)
 from tinynn_autograd_tpu.parallel.mesh import make_mesh
 
 
@@ -182,13 +185,8 @@ class ContextParallel:
                 h = ops.gather_axis_(h, axis, self.n_devices, axis=1)
                 seq_sharded = False
             if params[li]:
-                bound = {}
-                for name, arr in params[li].items():
-                    t = Tensor(arr, requires_grad=True)
-                    layer.params[name] = t
-                    bound[name] = t
+                tensors.append(bind_traced_layer(layer, params[li]))
                 h = layer.forward(h)
-                tensors.append(bound)
             else:
                 h = layer.forward(h)
                 tensors.append({})
@@ -261,6 +259,7 @@ class ContextParallel:
         y = jax.device_put(y, rep)
         self._params, self._opt_state, loss = self._step_fn(
             self._params, self._opt_state, x, y)
+        rebind_concrete(self.net, self._params)
         return loss
 
     def gather_params(self):

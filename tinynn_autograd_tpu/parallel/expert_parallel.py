@@ -26,6 +26,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
 from tinynn_autograd_tpu.nn.layers import MoE
+from tinynn_autograd_tpu.parallel._common import (
+    bind_traced_layer, rebind_concrete,
+)
 from tinynn_autograd_tpu.parallel.mesh import make_mesh
 
 _EXPERT_LEAVES = ("w1", "b1", "w2", "b2")
@@ -104,13 +107,8 @@ class ExpertParallel:
                 h, p = self._ep_moe_forward(layer, params[li], h)
                 tensors.append(p)
             elif params[li]:
-                bound = {}
-                for name, arr in params[li].items():
-                    t = Tensor(arr, requires_grad=True)
-                    layer.params[name] = t
-                    bound[name] = t
+                tensors.append(bind_traced_layer(layer, params[li]))
                 h = layer.forward(h)
-                tensors.append(bound)
             else:
                 h = layer.forward(h)
                 tensors.append({})
@@ -183,6 +181,7 @@ class ExpertParallel:
         y = jax.device_put(y, rep)
         self._params, self._opt_state, loss = self._step_fn(
             self._params, self._opt_state, x, y)
+        rebind_concrete(self.net, self._params)
         return loss
 
     def gather_params(self):

@@ -49,6 +49,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
 from tinynn_autograd_tpu.nn.layers import Dense, TransformerBlock
+from tinynn_autograd_tpu.parallel._common import (
+    bind_traced_layer, rebind_concrete,
+)
 from tinynn_autograd_tpu.parallel.mesh import make_mesh
 
 
@@ -119,16 +122,34 @@ class TensorParallel:
                     raise ValueError(
                         "MLP hidden %d doesn't divide over %d devices"
                         % (layer.shapes["w1"][1], self.n_devices))
+        # pair only CONSECUTIVE Dense runs: a pair spanning a non-Dense,
+        # non-Activation layer (e.g. a TransformerBlock or LayerNorm) would
+        # feed feature-sharded activations into full-width replicated math
+        from tinynn_autograd_tpu.nn.layers import Activation
+
+        runs, current = [], []
+        for layer in self.net.layers:
+            if isinstance(layer, Dense):
+                current.append(layer)
+            elif isinstance(layer, Activation):
+                continue  # elementwise: transparent to the pairing
+            elif current:
+                runs.append(current)
+                current = []
+        if current:
+            runs.append(current)
+
         layout = []
-        i = 0
-        while i < len(denses):
-            if i + 1 < len(denses) and (
-                    denses[i].shapes["w"][1] % self.n_devices == 0):
-                layout += ["col", "row"]
-                i += 2
-            else:
-                layout.append("rep")
-                i += 1
+        for run in runs:
+            i = 0
+            while i < len(run):
+                if i + 1 < len(run) and (
+                        run[i].shapes["w"][1] % self.n_devices == 0):
+                    layout += ["col", "row"]
+                    i += 2
+                else:
+                    layout.append("rep")
+                    i += 1
         self._layout = layout
         return denses
 
@@ -231,13 +252,8 @@ class TensorParallel:
                 tensors.append(p)
             elif params[li]:
                 # replicated-param layer: bind traced params so they train
-                bound = {}
-                for name, arr in params[li].items():
-                    t = Tensor(arr, requires_grad=True)
-                    layer.params[name] = t
-                    bound[name] = t
+                tensors.append(bind_traced_layer(layer, params[li]))
                 h = layer.forward(h)
-                tensors.append(bound)
             else:
                 h = layer.forward(h)
                 tensors.append({})
@@ -383,6 +399,7 @@ class TensorParallel:
         y = jax.device_put(y, bsh)
         self._params, self._opt_state, loss = self._step_fn(
             self._params, self._opt_state, x, y)
+        rebind_concrete(self.net, self._params)
         return loss
 
     def predict(self, x):
@@ -402,8 +419,10 @@ class TensorParallel:
             check_vma=False,
         )
         rep = NamedSharding(self.mesh, P())
-        return Tensor(jax.jit(sharded)(self._params,
-                                       jax.device_put(x, rep)))
+        out = Tensor(jax.jit(sharded)(self._params,
+                                      jax.device_put(x, rep)))
+        rebind_concrete(self.net, self._params)
+        return out
 
     def gather_params(self):
         """Reassemble the full (unsharded) parameter pytree on host —

@@ -83,23 +83,39 @@ class PrefetchIterator(BaseIterator):
 
         q = queue.Queue(maxsize=self.depth)
         err = []
+        stop = threading.Event()
+
+        def put(item):
+            # bounded-wait put so an abandoned consumer (early break /
+            # GeneratorExit) can't strand the worker on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self.iterator(inputs, targets):
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # surface in the consumer thread
                 err.append(e)
             finally:
-                q.put(self._DONE)
+                put(self._DONE)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._DONE:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            if err:
+                raise err[0]
