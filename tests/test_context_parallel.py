@@ -14,10 +14,11 @@ from tinynn_autograd_tpu.parallel import ContextParallel, make_mesh
 from tinynn_autograd_tpu.utils.seeder import random_seed
 
 
-def _model(seed, opt, seq_len=16, causal=False):
+def _model(seed, opt, seq_len=16, causal=False, heads=4):
     random_seed(seed)
-    net = build_tiny_transformer(vocab=16, seq_len=seq_len, dim=32, heads=4,
-                                 depth=2, num_out=16, causal=causal)
+    net = build_tiny_transformer(vocab=16, seq_len=seq_len, dim=32,
+                                 heads=heads, depth=2, num_out=16,
+                                 causal=causal)
     return Model(net, SoftmaxCrossEntropyLoss(), opt)
 
 
@@ -64,12 +65,6 @@ def test_ring_attention_smaller_mesh():
 
 
 def test_ring_attention_validations():
-    x, y = _data(16)
-    causal = ContextParallel(_model(4, SGD(lr=0.1), causal=True),
-                             mesh=make_mesh(8, axis_name="ctx"))
-    with pytest.raises(ValueError):
-        causal.train_step(x, y)
-
     x12, y12 = _data(16, seq_len=12)
     bad = ContextParallel(_model(5, SGD(lr=0.1), seq_len=12),
                           mesh=make_mesh(8, axis_name="ctx"))
@@ -110,3 +105,20 @@ def test_ulysses_rejects_indivisible_heads():
                           mode="ulysses")
     with pytest.raises(ValueError):
         bad.train_step(x, y)
+
+
+@pytest.mark.parametrize("mode", ["ring", "ulysses"])
+def test_causal_context_parallel_matches_single_device(mode):
+    """Causal masking under CP: ring masks blocks by global position,
+    Ulysses masks the gathered full-length rows — both must reproduce the
+    single-device causal model."""
+    x, y = _data()
+    cp = ContextParallel(_model(7, SGD(lr=0.1), causal=True, heads=8),
+                         mesh=make_mesh(8, axis_name="ctx"), mode=mode)
+    ref = _model(7, SGD(lr=0.1), causal=True, heads=8)
+    for _ in range(3):
+        np.testing.assert_allclose(float(cp.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=2e-5, atol=1e-6)
+
+

@@ -17,8 +17,10 @@ partial (computed from 1/n of the sequence rows) and get ONE psum before
 the optimizer — the same pattern as data parallelism, but sharding the
 sequence instead of the batch.
 
-Scope: non-causal TransformerBlock chains (causal ring masking needs
-global position bookkeeping — round-3 note); embedding/positional/head
+Causal masking is supported in both modes: the ring masks each score
+block by GLOBAL positions (the resident K chunk at ring step s belongs to
+device (idx-s) mod n), and Ulysses applies the ordinary full-length mask
+(its all_to_all output is in global order). Embedding/positional/head
 layers run replicated outside the ring region.
 """
 
@@ -73,10 +75,6 @@ class ContextParallel:
                 raise ValueError(
                     "ContextParallel does not support stochastic layers; "
                     "got %s" % layer.name)
-            if isinstance(layer, TransformerBlock) and layer.causal:
-                raise ValueError(
-                    "context-parallel attention is non-causal for now "
-                    "(global position masking is not implemented)")
             if (self.mode == "ulysses"
                     and isinstance(layer, TransformerBlock)
                     and layer.num_heads % self.n_devices):
@@ -107,10 +105,21 @@ class ContextParallel:
         # ring: score block against the resident K chunk, then pass K/V on.
         # Softmax is column-order invariant, so ring-arrival order is fine
         # as long as V blocks align with their score blocks (they do).
+        idx = jax.lax.axis_index(axis)
+        row_pos = idx * tl + jax.lax.broadcasted_iota(
+            jnp.int32, (tl, tl), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (tl, tl), 1)
         score_blocks = []
         v_blocks = []
         for s in range(n):
-            score_blocks.append(q @ kj.transpose((0, 1, 3, 2)))
+            block = q @ kj.transpose((0, 1, 3, 2))
+            if layer.causal:
+                # the resident K chunk at ring step s belongs to device
+                # (idx - s) mod n: mask by GLOBAL positions
+                owner = (idx - s) % n
+                col_pos = owner * tl + col_iota
+                block = block + jnp.where(col_pos <= row_pos, 0.0, -1e9)
+            score_blocks.append(block)
             v_blocks.append(vj)
             if s < n - 1:
                 kj = ops.ppermute_(kj, axis, ring)
@@ -151,6 +160,11 @@ class ContextParallel:
         k = to_head_sharded(split_heads(xn @ p["wk"]))
         v = to_head_sharded(split_heads(xn @ p["wv"]))
         scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
+        # after the a2a the sequence axis is in GLOBAL order, so the
+        # ordinary full-length causal mask applies directly
+        mask = layer._mask(tl * n)
+        if mask is not None:
+            scores = scores + mask
         attn = ops.softmax_(scores, axis=-1)
         ctx = attn @ v                                   # [B,H/n,T,hd]
         ctx = ops.all_to_all_(ctx, axis, split_axis=2, concat_axis=1)
