@@ -426,3 +426,35 @@ def test_batch_norm_predict_tracks_updated_running_stats():
     import jax
 
     assert not isinstance(bn.buffers["mean"], jax.core.Tracer)
+
+
+def test_batch_norm_running_stats_survive_checkpoint(tmp_path):
+    import os
+
+    from tinynn_autograd_tpu.nn.layers import BatchNorm
+
+    random_seed(12)
+    net = Net([Dense(8, num_in=4), BatchNorm(), Dense(2, num_in=8)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(32, 4).astype(np.float32) + 2.0
+    y = np.eye(2, dtype=np.float32)[rng.randint(0, 2, 32)]
+    model.zero_grad()
+    model.loss.loss(model.forward(Tensor(x)), Tensor(y)).backward()
+    model.step()
+    want_mean = np.asarray(net.layers[1].buffers["mean"])
+    path = os.path.join(str(tmp_path), "bn.pkl")
+    model.save(path)
+
+    random_seed(12)
+    net2 = Net([Dense(8, num_in=4), BatchNorm(), Dense(2, num_in=8)])
+    m2 = Model(net2, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    m2.load(path)
+    got = net2.layers[1].buffers["mean"]
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), want_mean, rtol=1e-6)
+    # TEST-phase predictions identical across the round trip
+    model.set_phase("TEST"); m2.set_phase("TEST")
+    np.testing.assert_allclose(np.asarray(model.predict(x[:4]).data),
+                               np.asarray(m2.predict(x[:4]).data),
+                               rtol=1e-6, atol=1e-7)

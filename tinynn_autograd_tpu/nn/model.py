@@ -494,6 +494,7 @@ class Model:
             "format": "tinynn_tpu_ckpt_v1",
             "params": params_host,
             "opt_state": opt_state_host,
+            "buffers": jax.tree.map(np.asarray, self.net.buffers_tree()),
             "layer_names": [l.name for l in self.net.layers],
         }
         with open(path, "wb") as f:
@@ -538,6 +539,11 @@ class Model:
                 layer._is_init = True
                 if "w" in saved:
                     layer.shapes["w"] = list(np.asarray(saved["w"]).shape)
+        if payload.get("buffers"):
+            # non-trainable state (e.g. BatchNorm running stats)
+            for layer, tree in zip(self.net.layers, payload["buffers"]):
+                for k, arr in tree.items():
+                    layer.buffers[k] = jnp.asarray(arr)
         if payload.get("opt_state") is not None:
             self._opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
             self.optimizer.load_state_dict(self._opt_state)
