@@ -192,6 +192,68 @@ def test_save_load_roundtrip(tmp_path):
         model.predict(x).numpy(), rtol=1e-5, atol=1e-6)
 
 
+def _eager_step(model, x, y):
+    model.zero_grad()
+    loss = model.loss.loss(model.forward(Tensor(x)), Tensor(y))
+    loss.backward()
+    model.step()
+
+
+def test_eager_save_resume_bit_identical(tmp_path):
+    # VERDICT r2 bug: step() nulls _opt_state and save() used to checkpoint
+    # opt_state=None after eager training, silently restarting Adam moments
+    # on resume. Save must fall back to the optimizer facade state; a
+    # save/load-resumed run must match an uninterrupted run bit-for-bit.
+    x, y, _ = _toy_data(n=16)
+    random_seed(21)
+    m1 = _toy_model(opt=Adam(lr=1e-2))
+    for _ in range(3):
+        _eager_step(m1, x, y)
+    assert int(m1.optimizer.state_dict()["t"]) == 3
+    path = os.path.join(tmp_path, "ckpt.pkl")
+    m1.save(path)
+
+    m2 = _toy_model(opt=Adam(lr=1e-2))
+    m2.load(path)
+    assert int(m2.optimizer.state_dict()["t"]) == 3  # moments survived
+
+    random_seed(21)
+    m3 = _toy_model(opt=Adam(lr=1e-2))  # uninterrupted twin
+    for _ in range(4):
+        _eager_step(m3, x, y)
+    _eager_step(m2, x, y)  # resumed 4th step
+
+    for li in (0, 2):
+        np.testing.assert_array_equal(
+            m2.net.layers[li].params["w"].numpy(),
+            m3.net.layers[li].params["w"].numpy())
+
+
+def test_save_before_init_raises(tmp_path):
+    model = Model(Net([Dense(16), ReLU(), Dense(4)]),
+                  SoftmaxCrossEntropyLoss(), Adam())
+    with pytest.raises(RuntimeError, match="never initialized"):
+        model.save(os.path.join(tmp_path, "ckpt.pkl"))
+
+
+def test_weights_only_load_clears_stale_opt_state(tmp_path):
+    # loading a weights-only checkpoint into a trained model must not keep
+    # the old run's moments against the new params
+    x, y, _ = _toy_data(n=8)
+    fresh = _toy_model()
+    fresh._ensure_init(x.shape)
+    path = os.path.join(tmp_path, "weights.pkl")
+    fresh.save(path)  # never trained: opt_state is None
+
+    trained = _toy_model()
+    for _ in range(2):
+        trained.train_step(x, y)
+    assert trained._opt_state is not None
+    trained.load(path)
+    assert trained._opt_state is None
+    assert trained.optimizer.state_dict() is None
+
+
 def test_load_shape_mismatch_raises(tmp_path):
     x, y, _ = _toy_data(n=8)
     model = _toy_model()

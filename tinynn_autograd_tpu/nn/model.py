@@ -39,6 +39,7 @@ class Model:
 
         self._phase = "TRAIN"
         self._opt_state = None
+        self._buffers = None  # non-trainable state threaded through jit
         self._jitted = {}     # phase/kind -> compiled fn
         self._base_key = None
 
@@ -82,9 +83,11 @@ class Model:
 
     def _rebind_concrete(self):
         """After a traced call, layers may hold tracer-backed Tensors from
-        bind_params; restore the live concrete params."""
+        bind_params/bind_buffers; restore the live concrete state."""
         if self._params is not None:
             self.net.bind_params(self._params)
+        if self._buffers is not None:
+            self.net.bind_buffers(self._buffers)
 
     @property
     def _params(self):
@@ -101,6 +104,8 @@ class Model:
         training can interleave without silently resetting moments."""
         if self._params is None:
             self._params = self.net.params_tree()
+        if self._buffers is None:
+            self._buffers = self.net.buffers_tree()
         if self._opt_state is None:
             existing = self.optimizer.state_dict()
             self._opt_state = (existing if existing is not None
@@ -123,32 +128,34 @@ class Model:
         if key not in self._jitted:
             self.net.set_phase("TRAIN")
             self._jitted[key] = jax.jit(
-                self._step_core(), donate_argnums=(0, 1))
+                self._step_core(), donate_argnums=(0, 1, 2))
 
-        self._params, self._opt_state, loss = self._jitted[key](
-            self._params, self._opt_state, x, y
-        )
+        self._params, self._opt_state, self._buffers, loss = self._jitted[
+            key](self._params, self._opt_state, self._buffers, x, y)
         self.optimizer.load_state_dict(self._opt_state)
         self._rebind_concrete()
         return loss
 
     def _step_core(self):
-        """The pure fused step: forward + tape backward + optimizer update.
-        Shared by the per-step jit, the scanned epoch, and (with a psum
-        spliced in) the data-parallel path."""
+        """The pure fused step: forward + tape backward + optimizer update,
+        with non-trainable buffers (BatchNorm running stats) threaded
+        in/out so fused training maintains them like eager training does.
+        Shared by the per-step jit and the scanned epoch."""
         net, loss_fn, optimizer = self.net, self.loss, self.optimizer
         base_key = self._base_key
 
-        def step_fn(params, opt_state, xb, yb):
+        def step_fn(params, opt_state, buffers, xb, yb):
             net.bind_params(params)
+            net.bind_buffers(buffers)
             rng = jax.random.fold_in(base_key, opt_state["t"])
             pred = net.forward(Tensor(xb), rng=rng)
+            new_buffers = net.collect_buffer_updates()
             loss_t = loss_fn.loss(pred, Tensor(yb))
             loss_t.backward()
             grads = net.collect_grads()
             steps, new_opt_state = optimizer.update(grads, params, opt_state)
             new_params = jax.tree.map(lambda p, s: p + s, params, steps)
-            return new_params, new_opt_state, loss_t.data
+            return new_params, new_opt_state, new_buffers, loss_t.data
 
         return step_fn
 
@@ -250,21 +257,22 @@ class Model:
                     n, n_steps, batch_size, shuffle,
                     x_all.shape[1:], y_all.shape[1:], kind_flag, interpret)
 
-                def runner(params, opt_state, xs, ys, rng):
+                def runner(params, opt_state, buffers, xs, ys, rng):
                     def body(carry, ekey):
-                        params, opt_state = carry
-                        params, opt_state, losses = epoch_body(
-                            params, opt_state, xs, ys, ekey)
-                        return (params, opt_state), losses
+                        params, opt_state, buffers = carry
+                        params, opt_state, buffers, losses = epoch_body(
+                            params, opt_state, buffers, xs, ys, ekey)
+                        return (params, opt_state, buffers), losses
 
                     keys = jax.random.split(rng, n_epochs)
-                    (params, opt_state), losses = jax.lax.scan(
-                        body, (params, opt_state), keys)
-                    return params, opt_state, losses
+                    (params, opt_state, buffers), losses = jax.lax.scan(
+                        body, (params, opt_state, buffers), keys)
+                    return params, opt_state, buffers, losses
 
                 self._jitted[key] = (
-                    jax.jit(runner, donate_argnums=(0, 1))
-                    .lower(self._params, self._opt_state, x_all, y_all, rng)
+                    jax.jit(runner, donate_argnums=(0, 1, 2))
+                    .lower(self._params, self._opt_state, self._buffers,
+                           x_all, y_all, rng)
                     .compile())
             return self._jitted[key]
 
@@ -290,19 +298,22 @@ class Model:
                 self._broken_kinds = getattr(self, "_broken_kinds", set())
                 self._broken_kinds.add(kind)
 
-        self._params, self._opt_state, losses = run(
-            self._params, self._opt_state, x_all, y_all, rng)
+        self._params, self._opt_state, self._buffers, losses = run(
+            self._params, self._opt_state, self._buffers, x_all, y_all, rng)
         self.optimizer.load_state_dict(self._opt_state)
         self._rebind_concrete()
         return losses
 
     def _make_epoch_body(self, n, n_steps, batch_size, shuffle,
                          feat_shape, label_feat_shape, kind, interpret):
-        """Pure fn(params, opt_state, xs, ys, rng) -> (params, opt_state,
-        losses[n_steps]): on-device shuffle + one of three step regimes:
-        the fused VMEM Pallas megakernel ("mega", ops/fused_epoch.py), the
-        HBM weight-streaming kernels ("stream", ops/streaming_epoch.py)
-        scanned over steps, or a lax.scan of the plain fused step."""
+        """Pure fn(params, opt_state, buffers, xs, ys, rng) -> (params,
+        opt_state, buffers, losses[n_steps]): on-device shuffle + one of
+        three step regimes: the fused VMEM Pallas megakernel ("mega",
+        ops/fused_epoch.py), the HBM weight-streaming kernels ("stream",
+        ops/streaming_epoch.py) scanned over steps, or a lax.scan of the
+        plain fused step. Only the scanned step carries live buffer
+        updates (the Pallas tiers reject buffer-carrying layers via
+        ``supports``); mega/stream pass the (empty) tree through."""
         batch_shape = (batch_size,) + tuple(feat_shape)
         label_shape = (batch_size,) + tuple(label_feat_shape)
 
@@ -326,7 +337,7 @@ class Model:
                 n_steps, batch_shape, label_shape, interpret=interpret)
             nl = len(leaf_shapes)
 
-            def epoch_body(params, opt_state, xs, ys, rng):
+            def epoch_body(params, opt_state, buffers, xs, ys, rng):
                 xb, yb = gather(xs, ys, rng)
                 p_leaves = treedef.flatten_up_to(params)
                 s_leaves = [
@@ -344,7 +355,7 @@ class Model:
                     for si, name in enumerate(slot_names)
                 }
                 return new_params, {"t": new_t.reshape(()),
-                                    "slots": new_slots}, losses
+                                    "slots": new_slots}, buffers, losses
 
             return epoch_body
 
@@ -356,18 +367,22 @@ class Model:
         else:
             step_fn = self._step_core()
 
-        def epoch_body(params, opt_state, xs, ys, rng):
+        def epoch_body(params, opt_state, buffers, xs, ys, rng):
             xb, yb = gather(xs, ys, rng)
 
             def body(carry, batch):
-                params, opt_state = carry
-                params, opt_state, loss = step_fn(
-                    params, opt_state, batch[0], batch[1])
-                return (params, opt_state), loss
+                params, opt_state, buffers = carry
+                if kind == "stream":
+                    params, opt_state, loss = step_fn(
+                        params, opt_state, batch[0], batch[1])
+                else:
+                    params, opt_state, buffers, loss = step_fn(
+                        params, opt_state, buffers, batch[0], batch[1])
+                return (params, opt_state, buffers), loss
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (xb, yb))
-            return params, opt_state, losses
+            (params, opt_state, buffers), losses = jax.lax.scan(
+                body, (params, opt_state, buffers), (xb, yb))
+            return params, opt_state, buffers, losses
 
         return epoch_body
 
@@ -481,14 +496,28 @@ class Model:
         live params and the facade's (just-advanced) optimizer state."""
         self._params = None
         self._opt_state = None
+        self._buffers = None  # eager forwards update layer buffers directly
 
     # ----------------------------------------------------------- checkpoint
 
     def save(self, path):
+        if not self.net.is_init:
+            raise RuntimeError(
+                "Model.save before parameters exist: the net has lazy layers "
+                "that were never initialized (run a forward / train step, or "
+                "call net.init(input_shape) first). The reference silently "
+                "pickles an empty net here (reference: core/model.py:18-21)."
+            )
         params_host = jax.tree.map(np.asarray, self.net.params_tree())
+        # the eager step() path invalidates the fused-path cache
+        # (self._opt_state = None) while the optimizer facade keeps the live
+        # state — fall back to it so eager-trained models resume with their
+        # moments and bias-correction schedule intact
+        opt_state = (self._opt_state if self._opt_state is not None
+                     else self.optimizer.state_dict())
         opt_state_host = (
-            jax.tree.map(np.asarray, self._opt_state)
-            if self._opt_state is not None else None
+            jax.tree.map(np.asarray, opt_state)
+            if opt_state is not None else None
         )
         payload = {
             "format": "tinynn_tpu_ckpt_v1",
@@ -547,7 +576,13 @@ class Model:
         if payload.get("opt_state") is not None:
             self._opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
             self.optimizer.load_state_dict(self._opt_state)
+        else:
+            # weights-only checkpoint: drop any live optimizer state so the
+            # restored params don't train against another run's moments
+            self._opt_state = None
+            self.optimizer.load_state_dict(None)
         self._params = None
+        self._buffers = None
         self._jitted.pop(("train_step",), None)
         print("Restored model from %s." % path)
 
