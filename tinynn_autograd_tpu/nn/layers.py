@@ -380,13 +380,15 @@ class BatchNorm(Layer):
     axes with learned per-feature gamma/beta (ops.batch_norm_, hand VJPs).
 
     State model (functional-core-friendly): TRAIN always normalizes by the
-    CURRENT batch statistics — a pure function of the inputs, so the layer
-    works unchanged inside the fused jitted step and the scanned epoch.
-    Running mean/var estimates (for TEST) are updated by EMA only when the
-    forward runs on CONCRETE values (the eager/reference-style loop);
-    under a jit trace the update is skipped, since writing tracers into
-    layer state would leak. If TEST runs before any running stats exist,
-    the layer falls back to batch statistics (documented classic caveat).
+    CURRENT batch statistics, and the running mean/var EMA (for TEST) is a
+    pure function of (old buffers, batch stats) starting from mean=0/var=1
+    (torch-style), so the SAME update runs eagerly and under a jit trace.
+    Eager forwards commit the new values to ``self.buffers`` directly;
+    traced forwards stash them in ``_new_buffers`` for the fused step to
+    collect and return as outputs (``Net.collect_buffer_updates``) — the
+    buffers thread through ``train_step``/``train_epochs`` like params and
+    optimizer state, so fused-trained models reach TEST with the same
+    running statistics as an eager-trained twin.
     No reference counterpart."""
 
     def __init__(self, dim=None, eps=1e-5, momentum=0.1,
@@ -419,13 +421,15 @@ class BatchNorm(Layer):
             out, mu, var = ops.batch_norm_(
                 inputs, self.params["gamma"], self.params["beta"],
                 axes=axes, eps=self.eps)
+            m = self.momentum
+            self._new_buffers = {
+                "mean": (1 - m) * self.buffers["mean"] + m * mu,
+                "var": (1 - m) * self.buffers["var"] + m * var,
+            }
             if not isinstance(mu, jax.core.Tracer):
-                m = self.momentum
-                if self.buffers["mean"] is None:
-                    self.buffers["mean"], self.buffers["var"] = mu, var
-                else:
-                    self.buffers["mean"] = (1 - m) * self.buffers["mean"] + m * mu
-                    self.buffers["var"] = (1 - m) * self.buffers["var"] + m * var
+                # eager forward: commit immediately; traced forwards leave
+                # the commit to the fused step via collect_buffer_updates
+                self.buffers.update(self._new_buffers)
             return out
         if self.buffers["mean"] is not None:
             import jax.numpy as jnp
@@ -444,9 +448,15 @@ class BatchNorm(Layer):
         return tuple(input_shape)
 
     def _init_parameters(self, dim):
+        import jax.numpy as jnp
+
         self.shapes = {"gamma": [1, int(dim)], "beta": [1, int(dim)]}
         self.params["gamma"] = self.initializers["gamma"](self.shapes["gamma"])
         self.params["beta"] = self.initializers["beta"](self.shapes["beta"])
+        # torch-style EMA start; a static structure lets the buffers ride
+        # the scan carry of the fused epoch from step 0
+        self.buffers = {"mean": jnp.zeros((int(dim),), jnp.float32),
+                        "var": jnp.ones((int(dim),), jnp.float32)}
         self._is_init = True
 
 

@@ -107,6 +107,26 @@ class Net:
             for layer in self.layers
         ]
 
+    def collect_buffer_updates(self):
+        """Post-forward buffers pytree, congruent with ``buffers_tree``:
+        layers that produced new (possibly traced) buffer values during the
+        forward (e.g. BatchNorm's running-stat EMA, stashed in
+        ``_new_buffers``) contribute those; stateless layers pass their
+        bound buffers through. Called inside the fused step so buffer
+        updates become outputs of the jitted program."""
+        out = []
+        for layer in self.layers:
+            buf = {k: v for k, v in getattr(layer, "buffers", {}).items()
+                   if v is not None}
+            buf.update(getattr(layer, "_new_buffers", None) or {})
+            out.append(buf)
+        return out
+
+    def has_buffers(self):
+        """True if any layer carries non-trainable state (so the fused
+        paths must thread a buffers tree)."""
+        return any(self.buffers_tree())
+
     def bind_buffers(self, tree):
         """Install a (possibly traced) buffers pytree as the layers' live
         non-trainable state. Jitted inference passes buffers as ARGUMENTS
