@@ -34,7 +34,8 @@ import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
 from tinynn_autograd_tpu.nn.layers import TransformerBlock
 from tinynn_autograd_tpu.parallel._common import (
-    bind_traced_layer, rebind_concrete,
+    adopt_pending_opt, bind_traced_layer, rebind_concrete, shard_opt_state,
+    wrapper_load, wrapper_save,
 )
 from tinynn_autograd_tpu.parallel.mesh import make_mesh
 
@@ -262,8 +263,11 @@ class ContextParallel:
                  for k, v in layer.params.items() if v is not None}
                 for layer in self.net.layers
             ]
+            self._specs = [{k: P() for k in layer} for layer in self._params]
         if self._opt_state is None:
-            self._opt_state = self.model.optimizer.init_state(self._params)
+            self._opt_state = adopt_pending_opt(
+                self, lambda host: shard_opt_state(
+                    self.mesh, self._specs, host))
         if self._step_fn is None:
             self.net.set_phase("TRAIN")
             self._step_fn = self._build()
@@ -278,3 +282,15 @@ class ContextParallel:
 
     def gather_params(self):
         return [jax.tree.map(np.asarray, layer) for layer in self._params]
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save(self, path):
+        """Checkpoint in the plain Model format — loadable by
+        ContextParallel OR a single-device Model."""
+        wrapper_save(self, path)
+
+    def load(self, path):
+        """Restore a Model-format checkpoint; the optimizer state
+        re-replicates over the mesh at the next train_step."""
+        wrapper_load(self, path)

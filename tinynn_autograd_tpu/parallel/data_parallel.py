@@ -251,10 +251,49 @@ class DataParallel:
         return losses
 
     def predict(self, x):
-        """Batch-sharded jitted inference over the mesh."""
-        return self.model.predict(x)
+        """Batch-sharded jitted inference over the mesh: params/buffers
+        replicated, the batch split on the data axis, output sharded the
+        same way (XLA partitions the collective-free forward directly; no
+        shard_map needed). Batches that don't divide by the mesh fall back
+        to single-device model.predict."""
+        x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
+        if x.shape[0] % self.n_devices:
+            return self.model.predict(x)
+        self._ensure_init(x.shape)
+        net = self.net
+        params = (self._params if self._params is not None
+                  else net.params_tree())
+        buffers = net.buffers_tree()
+        key = ("dp_predict", self.model.get_phase(), x.shape[1:],
+               str(x.dtype), tuple(tuple(sorted(d)) for d in buffers))
+        if not hasattr(self, "_predict_fns"):
+            self._predict_fns = {}
+        if key not in self._predict_fns:
+            def fwd(params, buffers, xb):
+                net.bind_params(params)
+                net.bind_buffers(buffers)
+                return net.forward(Tensor(xb)).data
+
+            rep = NamedSharding(self.mesh, P())
+            self._predict_fns[key] = jax.jit(
+                fwd, in_shardings=(rep, rep, self._batch_sharding()),
+                out_shardings=self._batch_sharding())
+        out = self._predict_fns[key](params, buffers, x)
+        net.bind_params(params)  # clear tracer-backed params from tracing
+        net.bind_buffers(buffers)
+        return Tensor(out)
 
     def save(self, path):
         self.model._params = self._params
         self.model._opt_state = self._opt_state
         self.model.save(path)
+
+    def load(self, path):
+        """Restore a Model-format checkpoint; params/optimizer state are
+        replicated, so they re-enter the step directly."""
+        self.model.load(path)
+        self._params = None
+        self._opt_state = (
+            jax.tree.map(jnp.asarray, self.model._opt_state)
+            if self.model._opt_state is not None else None)
+        self._step_fn = None

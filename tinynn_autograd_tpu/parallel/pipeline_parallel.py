@@ -43,6 +43,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
 from tinynn_autograd_tpu.nn.layers import Activation, Dense
+from tinynn_autograd_tpu.parallel._common import adopt_pending_opt
 from tinynn_autograd_tpu.parallel.mesh import make_mesh
 
 _ACT_NAMES = {"ReLU": "relu", "Tanh": "tanh", "Sigmoid": "sigmoid"}
@@ -310,7 +311,7 @@ class PipelineParallel:
         if self._params is None:
             self._params = self._shard_params()
         if self._opt_state is None:
-            self._opt_state = self.model.optimizer.init_state(self._params)
+            self._opt_state = adopt_pending_opt(self, self._stack_opt_state)
         if self._step_fn is None:
             self.net.set_phase("TRAIN")
             self._step_fn = self._build(mb, x.shape[1], y.shape[1])
@@ -325,3 +326,90 @@ class PipelineParallel:
     def gather_params(self):
         """Host copies: {body: [S,k,...] stacked arrays, proj/head dicts}."""
         return jax.tree.map(np.asarray, self._params)
+
+    # ----------------------------------------------------------- checkpoint
+
+    def _layer_tree_from_pp(self, tree):
+        """PP-structured {body, proj, head} -> layer-congruent list-of-dicts
+        of full host arrays (body [S, k, ...] unstacked back into per-layer
+        leaves in net.layers order)."""
+        layers = self.net.layers
+        dense_idx = [i for i, l in enumerate(layers) if isinstance(l, Dense)]
+        last = dense_idx[-1]
+        out = [{} for _ in layers]
+        for i, sub in tree["proj"].items():
+            out[i] = {k: np.asarray(v) for k, v in sub.items()}
+        for i, sub in tree["head"].items():
+            out[last + i] = {k: np.asarray(v) for k, v in sub.items()}
+        w = np.asarray(tree["body"]["w"])
+        b = np.asarray(tree["body"]["b"])
+        w = w.reshape((-1,) + w.shape[2:])
+        b = b.reshape((-1,) + b.shape[2:])
+        for j, li in enumerate(dense_idx[1:-1]):
+            out[li] = {"w": w[j], "b": b[j]}
+        return out
+
+    def _pp_tree_from_layers(self, tree):
+        """layer-congruent list-of-dicts of full arrays -> PP-structured
+        sharded tree (body restacked [S, k, ...] and split on the stage
+        axis; proj/head replicated)."""
+        layers = self.net.layers
+        dense_idx = [i for i, l in enumerate(layers) if isinstance(l, Dense)]
+        last = dense_idx[-1]
+        sharding = NamedSharding(self.mesh, P(self.axis_name))
+        rep = NamedSharding(self.mesh, P())
+
+        def stacked(name):
+            arrs = [jnp.asarray(tree[li][name]) for li in dense_idx[1:-1]]
+            return jax.device_put(
+                jnp.stack(arrs).reshape(
+                    (self.n_stages, self._k) + arrs[0].shape), sharding)
+
+        return {
+            "body": {"w": stacked("w"), "b": stacked("b")},
+            "proj": {i: {n: jax.device_put(jnp.asarray(v), rep)
+                         for n, v in tree[i].items()}
+                     for i in range(dense_idx[1]) if tree[i]},
+            "head": {i: {n: jax.device_put(jnp.asarray(v), rep)
+                         for n, v in tree[last + i].items()}
+                     for i in range(len(layers) - last) if tree[last + i]},
+        }
+
+    def _stack_opt_state(self, host):
+        """Checkpointed (layer-congruent) optimizer state -> PP layout."""
+        rep = NamedSharding(self.mesh, P())
+        return {
+            "t": jax.device_put(jnp.asarray(host["t"]), rep),
+            "slots": {n: self._pp_tree_from_layers(tree)
+                      for n, tree in host["slots"].items()},
+        }
+
+    def save(self, path):
+        """Checkpoint in the plain Model format: the stage-sharded body
+        stack is unstacked back into per-layer full arrays, so the file
+        loads into a fresh PipelineParallel OR a single-device Model."""
+        if self._params is not None:
+            host = self._layer_tree_from_pp(self._params)
+            for layer, d in zip(self.net.layers, host):
+                for k, arr in d.items():
+                    layer.params[k] = Tensor(jnp.asarray(arr),
+                                             requires_grad=True)
+            if self._opt_state is not None:
+                self.model._opt_state = {
+                    "t": self._opt_state["t"],
+                    "slots": {
+                        n: self._layer_tree_from_pp(
+                            self._opt_state["slots"][n])
+                        for n in self.model.optimizer.slot_names
+                    },
+                }
+        self.model.save(path)
+
+    def load(self, path):
+        """Restore a Model-format checkpoint; the body restacks and
+        re-shards over the stage axis at the next train_step."""
+        self.model.load(path)
+        self._params = None
+        self._opt_state = None
+        self._step_fn = None
+        self._pending_opt = self.model._opt_state

@@ -50,7 +50,8 @@ import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
 from tinynn_autograd_tpu.nn.layers import Dense, TransformerBlock
 from tinynn_autograd_tpu.parallel._common import (
-    bind_traced_layer, rebind_concrete,
+    adopt_pending_opt, bind_traced_layer, rebind_concrete, shard_opt_state,
+    wrapper_load, wrapper_save,
 )
 from tinynn_autograd_tpu.parallel.mesh import make_mesh
 
@@ -388,7 +389,9 @@ class TensorParallel:
         if self._params is None:
             self._params = self._shard_params()
         if self._opt_state is None:
-            self._opt_state = self.model.optimizer.init_state(self._params)
+            self._opt_state = adopt_pending_opt(
+                self, lambda host: shard_opt_state(
+                    self.mesh, self._specs, host))
         if self._step_fn is None:
             self.net.set_phase("TRAIN")
             self._step_fn = self._build()
@@ -432,3 +435,15 @@ class TensorParallel:
              for name, arr in layer_tree.items()}
             for layer_tree in self._params
         ]
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save(self, path):
+        """Checkpoint in the plain Model format (full host-layout arrays,
+        incl. optimizer state) — loadable by TensorParallel OR Model."""
+        wrapper_save(self, path)
+
+    def load(self, path):
+        """Restore a Model-format checkpoint; params re-shard and the
+        optimizer state re-distributes at the next train_step."""
+        wrapper_load(self, path)
