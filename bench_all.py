@@ -66,6 +66,164 @@ def emit(metric, rates, unit="steps/s", vs=None, floor_us=None):
     return med
 
 
+def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
+    """EXTERNAL floor oracle for the transformer config: a hand-written
+    pure-JAX (jax.grad) training step of the SAME model — weights copied
+    from the net, same shuffle/scan/one-dispatch amortization, same Adam
+    rule — measured on this chip. The framework itself never uses
+    jax.grad; this exists only to locate the XLA-kernel-granularity wall
+    (the same methodology as the CNN floor, BENCHMARKS.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.nn.layers import (
+        Dense, Embedding, GlobalAvgPool1D, PositionalEmbedding,
+        TransformerBlock,
+    )
+
+    # flatten the net's concrete params into a plain dict pytree
+    blocks = []
+    emb = pos = head = None
+    heads = None
+    for layer in net.layers:
+        if isinstance(layer, Embedding):
+            emb = layer.params["w"].data
+        elif isinstance(layer, PositionalEmbedding):
+            pos = layer.params["pos"].data
+        elif isinstance(layer, TransformerBlock):
+            heads = layer.num_heads
+            blocks.append({k: v.data for k, v in layer.params.items()})
+        elif isinstance(layer, Dense):
+            head = {k: v.data for k, v in layer.params.items()}
+        elif isinstance(layer, GlobalAvgPool1D):
+            pass
+    params = {"emb": emb, "pos": pos, "blocks": blocks, "head": head}
+
+    c = np.sqrt(2.0 / np.pi).astype(np.float32)
+
+    def gelu(x):
+        return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x ** 3)))
+
+    def ln(x, g, b, eps=1e-5):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + eps) * g + b
+
+    def fwd(p, ids):
+        h = p["emb"][ids] + p["pos"]
+        bsz, t, d = h.shape
+        hd = d // heads
+        for bp in p["blocks"]:
+            xn = ln(h, bp["g1"], bp["be1"])
+            def sh(x):
+                return x.reshape(bsz, t, heads, hd).transpose(0, 2, 1, 3)
+            q, k, v = sh(xn @ bp["wq"]), sh(xn @ bp["wk"]), sh(xn @ bp["wv"])
+            att = jax.nn.softmax(
+                (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(hd), axis=-1)
+            ctx = (att @ v).transpose(0, 2, 1, 3).reshape(bsz, t, d)
+            h = h + ctx @ bp["wo"]
+            yn = ln(h, bp["g2"], bp["be2"])
+            h = h + gelu(yn @ bp["w1"] + bp["b1"]) @ bp["w2"] + bp["b2"]
+        pooled = h.mean(axis=1)
+        return pooled @ p["head"]["w"] + p["head"]["b"]
+
+    def loss_fn(p, ids, y):
+        logits = fwd(p, ids)
+        logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        return -((logits - logz) * y).sum(-1).mean()
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def adam(p, slots, t, g):
+        m = jax.tree.map(lambda mm, gg: mm + (1 - b1) * (gg - mm),
+                         slots["m"], g)
+        v = jax.tree.map(lambda vv, gg: vv + (1 - b2) * (gg * gg - vv),
+                         slots["v"], g)
+        tf = t.astype(jnp.float32)
+        mh = jax.tree.map(lambda mm: mm / (1 - jnp.exp(tf * np.log(b1))), m)
+        vh = jax.tree.map(lambda vv: vv / (1 - jnp.exp(tf * np.log(b2))), v)
+        new_p = jax.tree.map(
+            lambda pp, mm, vv: pp - lr * mm / (jnp.sqrt(vv) + eps),
+            p, mh, vh)
+        return new_p, {"m": m, "v": v}
+
+    n = x_all.shape[0]
+    n_steps = n // batch
+
+    def runner(p, slots, t, xs, ys, rng):
+        def epoch(carry, ekey):
+            p, slots, t = carry
+            perm = jax.random.permutation(ekey, n)[: n_steps * batch]
+            xb = xs[perm].reshape((n_steps, batch) + xs.shape[1:])
+            yb = ys[perm].reshape((n_steps, batch) + ys.shape[1:])
+
+            def body(carry, b):
+                p, slots, t = carry
+                l, g = jax.value_and_grad(loss_fn)(p, b[0], b[1])
+                t = t + 1
+                p, slots = adam(p, slots, t, g)
+                return (p, slots, t), l
+
+            (p, slots, t), losses = jax.lax.scan(body, (p, slots, t),
+                                                 (xb, yb))
+            return (p, slots, t), losses
+
+        keys = jax.random.split(rng, n_epochs)
+        (p, slots, t), losses = jax.lax.scan(epoch, (p, slots, t), keys)
+        return p, slots, t, losses
+
+    jit_run = jax.jit(runner, donate_argnums=(0, 1, 2))
+    slots = {"m": jax.tree.map(jnp.zeros_like, params),
+             "v": jax.tree.map(jnp.zeros_like, params)}
+    t0 = jnp.zeros((), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    x_dev = jax.device_put(x_all)
+    y_dev = jax.device_put(y_all)
+
+    p, s, t, losses = jit_run(params, slots, t0, x_dev, y_dev, rng)
+    float(np.asarray(losses)[-1, -1])    # warmup readback
+    rates = []
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        p, s, t, losses = jit_run(p, s, t, x_dev, y_dev, rng)
+        float(np.asarray(losses)[-1, -1])
+        rates.append(n_epochs * n_steps / (time.perf_counter() - start))
+    return rates
+
+
+def bench_transformer():
+    """Config 6 (VERDICT r3 item 4): transformer seq-classifier through the
+    scanned one-dispatch tier, with the floor measured SAME-RUN by a
+    hand-written jax.grad oracle of the identical model (external oracle
+    only — no jax.grad in the framework)."""
+    from tinynn_autograd_tpu.models import build_tiny_transformer
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn import optimizer as opt
+    from tinynn_autograd_tpu.utils.datasets import one_hot
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    vocab, seq, dim, heads, depth, nout = 256, 128, 256, 8, 4, 16
+    batch, n_epochs, n_train = 32, 8, 2048
+    rng = np.random.RandomState(0)
+    tx = rng.randint(0, vocab, (n_train, seq))
+    ty = one_hot(rng.randint(0, nout, n_train), nout)
+
+    random_seed(0)
+    net = build_tiny_transformer(vocab=vocab, seq_len=seq, dim=dim,
+                                 heads=heads, depth=depth, num_out=nout)
+    m = Model(net, SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
+    x_dev, y_dev = m.stage(tx, ty)
+    rates = _time_epochs(m, x_dev, y_dev, batch, n_epochs, n_train // batch)
+
+    oracle_rates = _transformer_oracle_rates(net, tx, ty, batch, n_epochs,
+                                             lr=1e-3)
+    floor_us = 1e6 / statistics.median(oracle_rates)
+    emit("transformer_cls_train_steps_per_sec", rates,
+         floor_us=round(floor_us, 1))
+    emit("transformer_cls_jaxgrad_oracle_steps_per_sec", oracle_rates)
+
+
 def main():
     from tinynn_autograd_tpu.models import (
         build_deep_mlp, build_mnist_cnn, build_mnist_mlp,
@@ -139,10 +297,11 @@ def main():
     # DataParallel.train_epochs), scanned epoch forced on the single side
     # (the megakernel would flatter the comparison)
     n_ep = 20
+    DP_REPEATS = 7   # config 5's ratio was the noisiest line in round 2
     single_rates = []
     m_single.train_epochs(sx, sy, n_epochs=n_ep, batch_size=gbatch,
                           fused=False)
-    for _ in range(REPEATS):
+    for _ in range(DP_REPEATS):
         t0 = time.perf_counter()
         losses = m_single.train_epochs(sx, sy, n_epochs=n_ep,
                                        batch_size=gbatch, fused=False)
@@ -154,7 +313,7 @@ def main():
                             opt.Adam(1e-3)), mesh=make_mesh(n_dev))
     gx, gy = dp.stage(tx[:12800], ty_oh[:12800])
     dp_rates = []
-    for _ in range(REPEATS + 1):  # first is warmup
+    for _ in range(DP_REPEATS + 1):  # first is warmup
         t0 = time.perf_counter()
         losses = dp.train_epochs(gx, gy, n_epochs=n_ep, batch_size=gbatch)
         float(np.asarray(losses)[-1, -1])
@@ -168,6 +327,9 @@ def main():
         "value": round(statistics.median(single_rates) / med_dp, 2),
         "unit": "x (scanned single-device epoch / dp epoch, same global "
                 "batch, %d device(s))" % n_dev}), flush=True)
+
+    # 6. transformer family (scanned tier) + same-run jax.grad floor oracle
+    bench_transformer()
 
 
 if __name__ == "__main__":

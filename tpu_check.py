@@ -1,0 +1,146 @@
+"""TPU-hardware smoke checks (VERDICT r2 item 7): exercises the code paths
+the CPU suite can only cover via interpret-mode stand-ins, on the real chip,
+and writes TPUCHECK_r{N}.json.
+
+Checks:
+1. pltpu PRNG dropout statistics — a minimal Pallas kernel applies the
+   REAL ``pltpu.prng_seed / prng_random_bits`` branch of ``ops.dropout_``
+   (primitives.py dropout_) to a ones tensor: the zero fraction must match
+   the rate, survivors must carry exactly the 1/(1-p) inverted-dropout
+   scale, and different seeds must give different masks.
+2. Dropout-enabled fused-epoch megakernel — an MLP with Dropout trains via
+   ``train_epochs(fused=True)`` (the hardware pltpu branch, not the
+   counter-hash interpret stand-in): losses finite and decreasing, and the
+   run differs from a rate=0 twin (proving masks are actually applied
+   in-kernel).
+
+Usage (real TPU):  python tpu_check.py [--round N]
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def check_pltpu_dropout_stats(results):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from tinynn_autograd_tpu.core.tensor import Tensor
+    from tinynn_autograd_tpu.ops.primitives import dropout_
+
+    shape = (256, 256)
+    rate = 0.5
+
+    def kernel(seed_ref, out_ref):
+        x = Tensor(jnp.ones(shape, jnp.float32), requires_grad=False)
+        out = dropout_(x, rate, ("pltpu_seed", seed_ref[0]))
+        out_ref[...] = out.data
+
+    run = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+    )
+
+    masks = {}
+    for seed in (1, 2):
+        out = np.asarray(run(jnp.array([seed], jnp.int32)))
+        n = out.size
+        zero_frac = float((out == 0.0).mean())
+        survivors = out[out != 0.0]
+        scale = 1.0 / (1.0 - rate)
+        # binomial std of the zero fraction at n=65536 is ~0.002
+        assert abs(zero_frac - rate) < 0.02, zero_frac
+        assert np.allclose(survivors, scale), (survivors.min(),
+                                               survivors.max())
+        masks[seed] = out != 0.0
+        results["pltpu_dropout_seed%d" % seed] = {
+            "n": n, "zero_frac": round(zero_frac, 5),
+            "survivor_scale": float(survivors[0]) if survivors.size else None,
+        }
+    differ = float((masks[1] != masks[2]).mean())
+    assert differ > 0.3, differ   # independent masks differ on ~50% of cells
+    results["pltpu_dropout_mask_seed_divergence"] = round(differ, 4)
+    print("pltpu dropout stats: ok (zero_frac within 2e-2, scale exact, "
+          "seed divergence %.3f)" % differ)
+
+
+def check_megakernel_dropout_e2e(results):
+    import jax
+
+    from tinynn_autograd_tpu.nn.layers import Dense, Dropout, ReLU
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn.net import Net
+    from tinynn_autograd_tpu.nn.optimizer import Adam
+    from tinynn_autograd_tpu.utils.datasets import one_hot, synthetic_mnist
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    assert jax.default_backend() == "tpu", (
+        "tpu_check must run on the real TPU; backend=%s"
+        % jax.default_backend())
+
+    (tx, ty), (ex, ey) = synthetic_mnist(n_train=12800, n_test=2000)
+    ty_oh = one_hot(ty)
+
+    def build(rate):
+        random_seed(0)
+        net = Net([Dense(200, num_in=784), ReLU(), Dropout(rate),
+                   Dense(100, num_in=200), ReLU(), Dropout(rate),
+                   Dense(10, num_in=100)])
+        return Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-3))
+
+    losses = {}
+    for rate in (0.0, 0.3):
+        m = build(rate)
+        x_dev, y_dev = m.stage(tx, ty_oh)
+        # fused=True forces the megakernel; on TPU dropout inside it uses
+        # the hardware PRNG branch
+        trace = np.asarray(m.train_epochs(x_dev, y_dev, n_epochs=5,
+                                          batch_size=128, fused=True))
+        assert np.isfinite(trace).all()
+        assert trace[-1, -1] < trace[0, 0] * 0.5, trace[[0, -1], [0, -1]]
+        losses[rate] = trace
+        from tinynn_autograd_tpu.nn.evaluator import AccEvaluator
+
+        acc = m.evaluate_batch(ex, ey, AccEvaluator)["accuracy"]
+        results["megakernel_dropout_rate%.1f" % rate] = {
+            "first_loss": float(trace[0, 0]),
+            "final_loss": float(trace[-1, -1]),
+            "test_acc": round(float(acc), 4),
+        }
+        print("megakernel rate=%.1f: loss %.4f -> %.4f, acc %.4f"
+              % (rate, trace[0, 0], trace[-1, -1], acc))
+
+    # identical init/seeds: only the dropout masks distinguish the runs
+    assert not np.allclose(losses[0.0], losses[0.3]), (
+        "dropout had no effect inside the megakernel")
+    results["megakernel_dropout_changes_training"] = True
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--round", type=int, default=3)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    results = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0])}
+    check_pltpu_dropout_stats(results)
+    check_megakernel_dropout_e2e(results)
+
+    out = args.out or "TPUCHECK_r%02d.json" % args.round
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
