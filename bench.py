@@ -45,7 +45,11 @@ def main():
     # warmup: compile + steady state. NB: timing is closed by a host readback
     # of the final loss, not block_until_ready — on tunneled/remote platforms
     # only a readback reliably observes execution completion.
-    n_epochs = 40
+    # 200 epochs = 20,000 steps per dispatch: at the ~12us/step megakernel
+    # rate that is ~240ms of device time, so the ~20-40ms tunnel RTT stays
+    # under 15% of the run (40-epoch dispatches left it at up to half —
+    # round 2's 87k headline was dispatch-deflated)
+    n_epochs = 200
     # warmup with the SAME n_epochs: the epoch count is baked into the
     # compiled program, so a different count would recompile mid-measurement
     losses = model.train_epochs(x_dev, y_dev, n_epochs=n_epochs,

@@ -12,10 +12,16 @@ Methodology (round 2):
   round-over-round regressions are detectable against tunnel noise;
 - each line carries ``floor_us`` — the config's measured/derived per-step
   floor on this chip — and ``floor_frac`` = floor/measured (1.0 = at the
-  wall). Floor models (see BENCHMARKS.md for derivations):
+  wall). Floor models (derivations: BENCHMARKS.md "Where the walls are",
+  round 3; component data: FLOOR_PROBE.json):
     mnist_mlp   : ~12 us  serialized matmul latency of the 10-matmul chain
-    deep_mlp    : ~343 us 196 dependent [128,256]x[256,256] matmuls x1.75us
+    deep_mlp    : 55 us (SGD stream: in-kernel chain + acts traffic) /
+                  283 us (Adam stream: + m/v slot streams at the measured
+                  ~870GB/s aggregate HBM envelope). Round 2's global
+                  343us "chain floor" was an XLA-granularity artifact.
     mnist_cnn   : ~92 us  hand-written pure-JAX step, same amortization
+    transformer : measured SAME-RUN by a jax.grad oracle of the identical
+                  model (external oracle only)
     dp          : n/a on one device (reported as overhead vs single-device)
 """
 
@@ -239,10 +245,13 @@ def main():
     (tx, ty), _ = synthetic_mnist(n_train=12800, n_test=16)
     ty_oh = one_hot(ty)
 
-    # 1. flagship MLP (fused-epoch megakernel on TPU)
+    # 1. flagship MLP (fused-epoch megakernel on TPU). 200 epochs =
+    # 20,000 steps per dispatch so the ~20-40ms tunnel RTT is <15% of the
+    # run at the ~12us/step megakernel rate (40-epoch dispatches deflated
+    # round 2's numbers by up to 2x)
     m = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     x_dev, y_dev = m.stage(tx, ty_oh)
-    rates = _time_epochs(m, x_dev, y_dev, batch, 40, len(tx) // batch)
+    rates = _time_epochs(m, x_dev, y_dev, batch, 200, len(tx) // batch)
     emit("mnist_mlp_train_steps_per_sec", rates, vs=BASELINE, floor_us=12)
 
     # 2. optimizer zoo: per-optimizer fused step cost
@@ -250,24 +259,35 @@ def main():
                     ("rmsprop", opt.RMSProp(1e-3)), ("adam", opt.Adam(1e-3))]:
         random_seed(0)
         m = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(), o)
-        rates = _time_epochs(m, x_dev, y_dev, batch, 40, len(tx) // batch)
+        rates = _time_epochs(m, x_dev, y_dev, batch, 200, len(tx) // batch)
         emit("mnist_mlp_%s_steps_per_sec" % name, rates, floor_us=12)
 
     # 3. deep-graph stress: 100-layer MLP. fused="auto" picks the HBM
-    # weight-streaming kernels (params >> VMEM); floor = the serialized
-    # matmul dependency chain (196 x ~1.75us, measured on this chip)
+    # weight-streaming kernels. Floors re-derived round 3 (BENCHMARKS.md
+    # "Where the walls are", FLOOR_PROBE.json): the old 343us global
+    # "chain floor" was an XLA-kernel-granularity artifact — inside one
+    # Pallas kernel the 200-matmul chain costs <=34us (measured at B=8).
+    #   SGD stream floor = 55us  (<=31us in-kernel chain, measured at B=8
+    #     where all stacks are VMEM-resident, + acts traffic)
+    #   Adam stream floor = 283us (SGD path + m/v slot streams at the
+    #     measured ~870GB/s aggregate HBM envelope ~= the 819GB/s spec:
+    #     slot traffic runs AT the memory wall)
+    # 100 epochs/dispatch: 2000 steps amortize the ~20-40ms tunnel RTT to
+    # <10% even at the SGD step time (round 2's 10-epoch dispatches
+    # overstated these configs ~2-3x).
     rng = np.random.RandomState(0)
     dx = rng.randn(2560, 256).astype(np.float32)
     dy = one_hot(rng.randint(0, 10, 2560))
-    for name, o in [("adam", opt.Adam(1e-3)), ("sgd", opt.SGD(0.01))]:
+    for name, o, fl in [("adam", opt.Adam(1e-3), 283),
+                        ("sgd", opt.SGD(0.01), 55)]:
         random_seed(0)
         m = Model(build_deep_mlp(num_in=256, depth=100, width=256,
                                  num_out=10, stacked=True),
                   SoftmaxCrossEntropyLoss(), o)
         dx_dev, dy_dev = m.stage(dx, dy)
-        rates = _time_epochs(m, dx_dev, dy_dev, batch, 10, len(dx) // batch)
+        rates = _time_epochs(m, dx_dev, dy_dev, batch, 100, len(dx) // batch)
         emit("deep_mlp_100layer_%s_steps_per_sec" % name, rates,
-             floor_us=343)
+             floor_us=fl)
 
     # 4. CNN; floor = hand-written pure-JAX train step of the same model,
     # measured on this chip at the same one-dispatch amortization (92us —
@@ -276,7 +296,7 @@ def main():
     m = Model(build_mnist_cnn(), SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     cx = tx[:2560].reshape(-1, 28, 28, 1)
     cx_dev, cy_dev = m.stage(cx, ty_oh[:2560])
-    rates = _time_epochs(m, cx_dev, cy_dev, batch, 60, len(cx) // batch)
+    rates = _time_epochs(m, cx_dev, cy_dev, batch, 150, len(cx) // batch)
     emit("mnist_cnn_train_steps_per_sec", rates, floor_us=92)
 
     # 5. data parallel. With one real chip the honest numbers are (a) the
@@ -296,7 +316,7 @@ def main():
     # both sides run 20 epochs as ONE dispatch (Model.train_epochs vs
     # DataParallel.train_epochs), scanned epoch forced on the single side
     # (the megakernel would flatter the comparison)
-    n_ep = 20
+    n_ep = 60
     DP_REPEATS = 7   # config 5's ratio was the noisiest line in round 2
     single_rates = []
     m_single.train_epochs(sx, sy, n_epochs=n_ep, batch_size=gbatch,

@@ -34,12 +34,33 @@ No jax.grad anywhere. Kernels follow the double-buffering guidance of the
 TPU Pallas guide; interpret=True runs the same kernels on CPU for tests.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tinynn_autograd_tpu.core.tensor import Tensor
+
+# VMEM working-set budget for layers-per-block sizing, env-tunable.
+# Measured on v5e (L=100, W=256, B=128, 2000-step dispatches): the budget
+# barely moves the step time (SGD 71/61/65 us at 6/24/11 MB; Adam flat at
+# ~286 us for C_bwd of 1, 2, or 5), because XLA's memory-space assignment
+# already keeps the hot stacks VMEM-resident between kernel calls — which
+# is also why OVERRIDING CompilerParams.vmem_limit_bytes upward is pure
+# harm (2.7x slower at identical block sizes: the scoped reservation
+# evicts XLA's residency). So: moderate budget, NO limit override.
+_BUDGET_MB = float(os.environ.get("TINYNN_STREAM_VMEM_BUDGET_MB", "24"))
+_VMEM_BUDGET = int(_BUDGET_MB * 1024 * 1024)
+_VMEM_LIMIT_MB = float(os.environ.get("TINYNN_STREAM_VMEM_LIMIT_MB", "0"))
+
+
+def _compiler_params(n_grid_dims=1):
+    kwargs = {"dimension_semantics": ("arbitrary",) * n_grid_dims}
+    if _VMEM_LIMIT_MB:
+        kwargs["vmem_limit_bytes"] = int(_VMEM_LIMIT_MB * 1024 * 1024)
+    return pltpu.CompilerParams(**kwargs)
 
 # activation forward + derivative-from-OUTPUT (a = act(z)):
 #   relu: a > 0 (z == 0 ties are measure-zero; the tape path uses z >= 0)
@@ -83,7 +104,7 @@ def supports(net, params_tree, optimizer):
 
 
 def _pick_block(L, per_layer_bytes, extra_bytes=0,
-                budget=11 * 1024 * 1024):
+                budget=_VMEM_BUDGET):
     """Largest layers-per-block divisor of L whose double-buffered working
     set stays inside the VMEM budget. Bigger blocks amortize the fixed
     per-grid-step pipeline cost (~microseconds of DMA issue latency per
@@ -97,8 +118,7 @@ def _pick_block(L, per_layer_bytes, extra_bytes=0,
 def _pick_block_fwd(L, B, W):
     # streams w+b in and acts out; carry h in scratch
     per_layer = (W * W + W + B * W) * 4
-    return _pick_block(L, per_layer, extra_bytes=B * W * 4,
-                       budget=12 * 1024 * 1024)
+    return _pick_block(L, per_layer, extra_bytes=B * W * 4)
 
 
 def _pick_block_bwd(L, B, W, n_slots):
@@ -138,8 +158,7 @@ def _build_forward(L, B, W, act_name, C, interpret):
         out_specs=pl.BlockSpec((C, B, W), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((B, W), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 
@@ -253,8 +272,7 @@ def _build_backward(L, B, W, act_name, optimizer, C, interpret):
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((B, W), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 
