@@ -14,7 +14,11 @@ Methodology (round 2):
   floor on this chip — and ``floor_frac`` = floor/measured (1.0 = at the
   wall). Floor models (derivations: BENCHMARKS.md "Where the walls are",
   round 3; component data: FLOOR_PROBE.json):
-    mnist_mlp   : ~12 us  serialized matmul latency of the 10-matmul chain
+    mnist_mlp   : ~4 us — in-kernel dependent-matmul chain (~20 serial
+                  matmuls at the <=0.17us in-kernel latency) + batch
+                  stream. Round 2's 12us was the XLA-granularity chain;
+                  the megakernel (measured 4.6us SGD / 6us Adam once
+                  dispatch-amortized) runs well below it.
     deep_mlp    : 55 us (SGD stream: in-kernel chain + acts traffic) /
                   283 us (Adam stream: + m/v slot streams at the measured
                   ~870GB/s aggregate HBM envelope). Round 2's global
@@ -70,6 +74,121 @@ def emit(metric, rates, unit="steps/s", vs=None, floor_us=None):
         rec["floor_frac"] = round(floor_us / (1e6 / med), 2)
     print(json.dumps(rec), flush=True)
     return med
+
+
+def _adam_tree(lr):
+    import jax
+    import jax.numpy as jnp
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def adam(p, slots, t, g):
+        m = jax.tree.map(lambda mm, gg: mm + (1 - b1) * (gg - mm),
+                         slots["m"], g)
+        v = jax.tree.map(lambda vv, gg: vv + (1 - b2) * (gg * gg - vv),
+                         slots["v"], g)
+        tf = t.astype(jnp.float32)
+        mh = jax.tree.map(lambda mm: mm / (1 - jnp.exp(tf * np.log(b1))), m)
+        vh = jax.tree.map(lambda vv: vv / (1 - jnp.exp(tf * np.log(b2))), v)
+        new_p = jax.tree.map(
+            lambda pp, mm, vv: pp - lr * mm / (jnp.sqrt(vv) + eps),
+            p, mh, vh)
+        return new_p, {"m": m, "v": v}
+
+    return adam
+
+
+def _oracle_run_rates(params, loss_fn, x_all, y_all, batch, n_epochs, lr):
+    """Shared oracle runner: jax.grad step + Adam, same on-device shuffle /
+    scan / one-dispatch amortization as Model.train_epochs."""
+    import jax
+    import jax.numpy as jnp
+
+    adam = _adam_tree(lr)
+    n = x_all.shape[0]
+    n_steps = n // batch
+
+    def runner(p, slots, t, xs, ys, rng):
+        def epoch(carry, ekey):
+            p, slots, t = carry
+            perm = jax.random.permutation(ekey, n)[: n_steps * batch]
+            xb = xs[perm].reshape((n_steps, batch) + xs.shape[1:])
+            yb = ys[perm].reshape((n_steps, batch) + ys.shape[1:])
+
+            def body(carry, b):
+                p, slots, t = carry
+                l, g = jax.value_and_grad(loss_fn)(p, b[0], b[1])
+                t = t + 1
+                p, slots = adam(p, slots, t, g)
+                return (p, slots, t), l
+
+            (p, slots, t), losses = jax.lax.scan(body, (p, slots, t),
+                                                 (xb, yb))
+            return (p, slots, t), losses
+
+        keys = jax.random.split(rng, n_epochs)
+        (p, slots, t), losses = jax.lax.scan(epoch, (p, slots, t), keys)
+        return p, slots, t, losses
+
+    jit_run = jax.jit(runner, donate_argnums=(0, 1, 2))
+    slots = {"m": jax.tree.map(jnp.zeros_like, params),
+             "v": jax.tree.map(jnp.zeros_like, params)}
+    t0 = jnp.zeros((), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    x_dev = jax.device_put(x_all)
+    y_dev = jax.device_put(y_all)
+
+    p, s, t, losses = jit_run(params, slots, t0, x_dev, y_dev, rng)
+    float(np.asarray(losses)[-1, -1])    # warmup readback
+    rates = []
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        p, s, t, losses = jit_run(p, s, t, x_dev, y_dev, rng)
+        float(np.asarray(losses)[-1, -1])
+        rates.append(n_epochs * n_steps / (time.perf_counter() - start))
+    return rates
+
+
+def _cnn_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
+    """EXTERNAL floor oracle for the CNN config: hand-written pure-JAX
+    (jax.grad + lax.conv/reduce_window) training step of the SAME model,
+    weights copied from the net, same amortization — re-measured every
+    sweep so the floor tracks the measurement methodology (round 2's
+    fixed 92us was measured at 60-epoch dispatches and went stale when
+    the amortization was fixed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.nn.layers import Conv2D, Dense
+
+    convs = [l for l in net.layers if isinstance(l, Conv2D)]
+    denses = [l for l in net.layers if isinstance(l, Dense)]
+    params = {
+        "c": [{k: v.data for k, v in l.params.items()} for l in convs],
+        "d": [{k: v.data for k, v in l.params.items()} for l in denses],
+    }
+
+    def fwd(p, x):
+        h = x
+        for cp in p["c"]:
+            h = jax.lax.conv_general_dilated(
+                h, cp["w"], window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + cp["b"]
+            h = jnp.maximum(h, 0.0)
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID")
+        h = h.reshape(h.shape[0], -1)
+        h = jnp.maximum(h @ p["d"][0]["w"] + p["d"][0]["b"], 0.0)
+        return h @ p["d"][1]["w"] + p["d"][1]["b"]
+
+    def loss_fn(p, x, y):
+        logits = fwd(p, x)
+        logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        return -((logits - logz) * y).sum(-1).mean()
+
+    return _oracle_run_rates(params, loss_fn, x_all, y_all, batch,
+                             n_epochs, lr)
 
 
 def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
@@ -138,63 +257,8 @@ def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
         logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
         return -((logits - logz) * y).sum(-1).mean()
 
-    b1, b2, eps = 0.9, 0.999, 1e-8
-
-    def adam(p, slots, t, g):
-        m = jax.tree.map(lambda mm, gg: mm + (1 - b1) * (gg - mm),
-                         slots["m"], g)
-        v = jax.tree.map(lambda vv, gg: vv + (1 - b2) * (gg * gg - vv),
-                         slots["v"], g)
-        tf = t.astype(jnp.float32)
-        mh = jax.tree.map(lambda mm: mm / (1 - jnp.exp(tf * np.log(b1))), m)
-        vh = jax.tree.map(lambda vv: vv / (1 - jnp.exp(tf * np.log(b2))), v)
-        new_p = jax.tree.map(
-            lambda pp, mm, vv: pp - lr * mm / (jnp.sqrt(vv) + eps),
-            p, mh, vh)
-        return new_p, {"m": m, "v": v}
-
-    n = x_all.shape[0]
-    n_steps = n // batch
-
-    def runner(p, slots, t, xs, ys, rng):
-        def epoch(carry, ekey):
-            p, slots, t = carry
-            perm = jax.random.permutation(ekey, n)[: n_steps * batch]
-            xb = xs[perm].reshape((n_steps, batch) + xs.shape[1:])
-            yb = ys[perm].reshape((n_steps, batch) + ys.shape[1:])
-
-            def body(carry, b):
-                p, slots, t = carry
-                l, g = jax.value_and_grad(loss_fn)(p, b[0], b[1])
-                t = t + 1
-                p, slots = adam(p, slots, t, g)
-                return (p, slots, t), l
-
-            (p, slots, t), losses = jax.lax.scan(body, (p, slots, t),
-                                                 (xb, yb))
-            return (p, slots, t), losses
-
-        keys = jax.random.split(rng, n_epochs)
-        (p, slots, t), losses = jax.lax.scan(epoch, (p, slots, t), keys)
-        return p, slots, t, losses
-
-    jit_run = jax.jit(runner, donate_argnums=(0, 1, 2))
-    slots = {"m": jax.tree.map(jnp.zeros_like, params),
-             "v": jax.tree.map(jnp.zeros_like, params)}
-    t0 = jnp.zeros((), jnp.int32)
-    rng = jax.random.PRNGKey(0)
-    x_dev = jax.device_put(x_all)
-    y_dev = jax.device_put(y_all)
-
-    p, s, t, losses = jit_run(params, slots, t0, x_dev, y_dev, rng)
-    float(np.asarray(losses)[-1, -1])    # warmup readback
-    rates = []
-    for _ in range(REPEATS):
-        start = time.perf_counter()
-        p, s, t, losses = jit_run(p, s, t, x_dev, y_dev, rng)
-        float(np.asarray(losses)[-1, -1])
-        rates.append(n_epochs * n_steps / (time.perf_counter() - start))
-    return rates
+    return _oracle_run_rates(params, loss_fn, x_all, y_all, batch,
+                             n_epochs, lr)
 
 
 def bench_transformer():
@@ -252,7 +316,7 @@ def main():
     m = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     x_dev, y_dev = m.stage(tx, ty_oh)
     rates = _time_epochs(m, x_dev, y_dev, batch, 200, len(tx) // batch)
-    emit("mnist_mlp_train_steps_per_sec", rates, vs=BASELINE, floor_us=12)
+    emit("mnist_mlp_train_steps_per_sec", rates, vs=BASELINE, floor_us=4)
 
     # 2. optimizer zoo: per-optimizer fused step cost
     for name, o in [("sgd", opt.SGD(0.01)), ("momentum", opt.Momentum(0.01)),
@@ -260,7 +324,7 @@ def main():
         random_seed(0)
         m = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(), o)
         rates = _time_epochs(m, x_dev, y_dev, batch, 200, len(tx) // batch)
-        emit("mnist_mlp_%s_steps_per_sec" % name, rates, floor_us=12)
+        emit("mnist_mlp_%s_steps_per_sec" % name, rates, floor_us=4)
 
     # 3. deep-graph stress: 100-layer MLP. fused="auto" picks the HBM
     # weight-streaming kernels. Floors re-derived round 3 (BENCHMARKS.md
@@ -289,15 +353,19 @@ def main():
         emit("deep_mlp_100layer_%s_steps_per_sec" % name, rates,
              floor_us=fl)
 
-    # 4. CNN; floor = hand-written pure-JAX train step of the same model,
-    # measured on this chip at the same one-dispatch amortization (92us —
-    # see BENCHMARKS.md)
+    # 4. CNN; floor = hand-written pure-JAX (jax.grad) train step of the
+    # same model, re-measured SAME-RUN at the same amortization (a fixed
+    # constant went stale when the dispatch amortization was fixed)
     random_seed(0)
     m = Model(build_mnist_cnn(), SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     cx = tx[:2560].reshape(-1, 28, 28, 1)
     cx_dev, cy_dev = m.stage(cx, ty_oh[:2560])
     rates = _time_epochs(m, cx_dev, cy_dev, batch, 150, len(cx) // batch)
-    emit("mnist_cnn_train_steps_per_sec", rates, floor_us=92)
+    cnn_oracle = _cnn_oracle_rates(m.net, np.asarray(cx), ty_oh[:2560],
+                                   batch, 150, lr=1e-3)
+    emit("mnist_cnn_train_steps_per_sec", rates,
+         floor_us=round(1e6 / statistics.median(cnn_oracle), 1))
+    emit("mnist_cnn_jaxgrad_oracle_steps_per_sec", cnn_oracle)
 
     # 5. data parallel. With one real chip the honest numbers are (a) the
     # DP machinery's overhead vs the plain single-device scanned epoch at
