@@ -38,19 +38,47 @@ class BaseOptimizer:
     # names of per-parameter state slots, e.g. ("m", "v") for Adam
     slot_names = ()
 
-    def __init__(self, lr, weight_decay=0.0):
+    def __init__(self, lr, weight_decay=0.0, slot_dtype=None):
+        """``slot_dtype``: storage dtype for the per-parameter state slots
+        (e.g. ``jnp.bfloat16`` to halve optimizer-state memory AND the HBM
+        slot traffic that bounds Adam on the weight-streaming path — see
+        BENCHMARKS.md walls). The update math always runs in float32; only
+        the stored moments are rounded. Opt-in with a real numerics cost:
+        round-to-nearest EMA drops relative increments below bf16's 2^-8
+        resolution, so slow-moving slots (Adam's v at small lr*g) can
+        stall and convergence lags the f32 twin — a memory/traffic relief
+        mode, not a free default (stochastic rounding would close the
+        gap; future work)."""
         self.lr = lr
         self.weight_decay = weight_decay
+        self.slot_dtype = slot_dtype
         self._state = None
 
     # ------------------------------------------------------ functional API
 
     def init_state(self, params):
+        dt = self.slot_dtype
+
+        def zeros(p):
+            return jnp.zeros(jnp.shape(p), dt if dt is not None
+                             else jnp.asarray(p).dtype)
+
         slots = {
-            name: jax.tree.map(jnp.zeros_like, params)
+            name: jax.tree.map(zeros, params)
             for name in self.slot_names
         }
         return {"t": jnp.zeros((), jnp.int32), "slots": slots}
+
+    def step_leaf(self, g, lr, t, slots):
+        """Dtype-managing wrapper around the per-leaf update rule: slots
+        are upcast to f32 for the math and new slots are stored back in
+        ``slot_dtype``. Every execution tier (eager facade, fused step,
+        scanned epoch, streaming backward kernel) goes through here."""
+        slots32 = {k: v.astype(jnp.float32) for k, v in slots.items()}
+        step, new = self._step_leaf(g, lr, t, slots32)
+        if self.slot_dtype is not None:
+            new = {k: v.astype(self.slot_dtype) for k, v in new.items()}
+        return step, new
 
     def _lr_at(self, t):
         if callable(self.lr):
@@ -78,7 +106,7 @@ class BaseOptimizer:
         for i, (g, p) in enumerate(zip(g_leaves, p_leaves)):
             g = g.astype(p.dtype)
             slots_i = {n: slot_leaves[n][i] for n in self.slot_names}
-            step, updated = self._step_leaf(g, lr, t, slots_i)
+            step, updated = self.step_leaf(g, lr, t, slots_i)
             if self.weight_decay:
                 step = step - self.weight_decay * p
             steps.append(step)
@@ -135,8 +163,9 @@ class Momentum(BaseOptimizer):
 
     slot_names = ("acc",)
 
-    def __init__(self, lr, momentum=0.9, weight_decay=0.0):
-        super().__init__(lr, weight_decay)
+    def __init__(self, lr, momentum=0.9, weight_decay=0.0,
+                 slot_dtype=None):
+        super().__init__(lr, weight_decay, slot_dtype)
         self._momentum = momentum
 
     def _step_leaf(self, g, lr, t, slots):
@@ -153,8 +182,8 @@ class Adam(BaseOptimizer):
     slot_names = ("m", "v")
 
     def __init__(self, lr=0.001, beta1=0.9, beta2=0.999, epsilon=1e-8,
-                 weight_decay=0.0):
-        super().__init__(lr, weight_decay)
+                 weight_decay=0.0, slot_dtype=None):
+        super().__init__(lr, weight_decay, slot_dtype)
         self._b1 = beta1
         self._b2 = beta2
         self._eps = epsilon
@@ -178,8 +207,8 @@ class RMSProp(BaseOptimizer):
     slot_names = ("ms", "mom")
 
     def __init__(self, lr=0.01, decay=0.99, momentum=0.0, epsilon=1e-8,
-                 weight_decay=0.0):
-        super().__init__(lr, weight_decay)
+                 weight_decay=0.0, slot_dtype=None):
+        super().__init__(lr, weight_decay, slot_dtype)
         self._decay = decay
         self._momentum = momentum
         self._eps = epsilon
@@ -196,8 +225,9 @@ class Adagrad(BaseOptimizer):
 
     slot_names = ("G",)
 
-    def __init__(self, lr, weight_decay=0.0, epsilon=1e-8):
-        super().__init__(lr, weight_decay)
+    def __init__(self, lr, weight_decay=0.0, epsilon=1e-8,
+                 slot_dtype=None):
+        super().__init__(lr, weight_decay, slot_dtype)
         self._eps = epsilon
 
     def _step_leaf(self, g, lr, t, slots):
@@ -213,8 +243,9 @@ class Adadelta(BaseOptimizer):
 
     slot_names = ("Eg", "d")
 
-    def __init__(self, lr=1.0, weight_decay=0.0, decay=0.9, epsilon=1e-8):
-        super().__init__(lr, weight_decay)
+    def __init__(self, lr=1.0, weight_decay=0.0, decay=0.9, epsilon=1e-8,
+                 slot_dtype=None):
+        super().__init__(lr, weight_decay, slot_dtype)
         self._decay = decay
         self._eps = epsilon
 

@@ -121,9 +121,10 @@ def _pick_block_fwd(L, B, W):
     return _pick_block(L, per_layer, extra_bytes=B * W * 4)
 
 
-def _pick_block_bwd(L, B, W, n_slots):
+def _pick_block_bwd(L, B, W, n_slots, slot_bytes=4):
     # streams w + slots in/out, acts in, db out; dh carry in scratch
-    per_layer = ((1 + n_slots) * W * W * 4) * 2 + (B * W + W) * 4
+    per_layer = ((W * W * 4 + n_slots * W * W * slot_bytes) * 2
+                 + (B * W + W) * 4)
     return _pick_block(L, per_layer, extra_bytes=5 * B * W * 4)
 
 
@@ -167,6 +168,7 @@ def _build_backward(L, B, W, act_name, optimizer, C, interpret):
     _, act_grad = _ACTS[act_name]
     slot_names = optimizer.slot_names
     n_slots = len(slot_names)
+    slot_dt = optimizer.slot_dtype or jnp.float32
     wd = optimizer.weight_decay
     n_blocks = L // C
 
@@ -211,7 +213,9 @@ def _build_backward(L, B, W, act_name, optimizer, C, interpret):
             db_ref[j] = jnp.sum(dz, axis=0, keepdims=True)
 
             sw = {n: slot_w_in[k][j] for k, n in enumerate(slot_names)}
-            step_w, new_sw = optimizer._step_leaf(dw, lr, t, sw)
+            # step_leaf upcasts bf16-stored slots to f32 for the math and
+            # rounds the new values back to the storage dtype
+            step_w, new_sw = optimizer.step_leaf(dw, lr, t, sw)
             if wd:
                 step_w = step_w - wd * w_ref[j]
             new_w_ref[j] = w_ref[j] + step_w
@@ -253,7 +257,7 @@ def _build_backward(L, B, W, act_name, optimizer, C, interpret):
 
     out_shape = (
         [jax.ShapeDtypeStruct((L, W, W), jnp.float32)]
-        + [jax.ShapeDtypeStruct((L, W, W), jnp.float32)
+        + [jax.ShapeDtypeStruct((L, W, W), slot_dt)
            for _ in range(n_slots)]
         + [jax.ShapeDtypeStruct((L, 1, W), jnp.float32)]   # db stack
         + [jax.ShapeDtypeStruct((B, W), jnp.float32)]      # dh0
@@ -309,8 +313,10 @@ def build_streaming_step(net, loss_fn, optimizer, interpret=False):
         B = xb.shape[0]
         fwd = _build_forward(L, B, W, act_name,
                              _pick_block_fwd(L, B, W), interpret)
+        slot_bytes = jnp.dtype(optimizer.slot_dtype or jnp.float32).itemsize
         bwd = _build_backward(L, B, W, act_name, optimizer,
-                              _pick_block_bwd(L, B, W, n_slots), interpret)
+                              _pick_block_bwd(L, B, W, n_slots, slot_bytes),
+                              interpret)
 
         t_new = opt_state["t"] + 1
         lr = optimizer._lr_at(t_new)
@@ -346,7 +352,7 @@ def build_streaming_step(net, loss_fn, optimizer, interpret=False):
         # stacked-bias update: the [L,1,W] leaf through the same per-leaf
         # rule (elementwise, so one stacked call == L per-layer calls)
         sb = {n: slots[n][stack_idx]["b"] for n in slot_names}
-        step_b, new_sb = optimizer._step_leaf(db_stack, lr, t_new, sb)
+        step_b, new_sb = optimizer.step_leaf(db_stack, lr, t_new, sb)
         if optimizer.weight_decay:
             step_b = step_b - optimizer.weight_decay * params[stack_idx]["b"]
         new_b = params[stack_idx]["b"] + step_b
