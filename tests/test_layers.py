@@ -537,3 +537,90 @@ def test_batch_norm_running_stats_update_in_fused_paths():
     np.testing.assert_allclose(
         stats, np.asarray(m_twin.net.layers[1].buffers["mean"]),
         rtol=1e-4, atol=1e-6)
+
+
+def test_batchnorm_test_falls_back_to_batch_stats_when_never_updated():
+    """Review r3 finding: training paths that never thread buffers (the
+    parallel wrappers) leave the EMA untouched; TEST must then fall back
+    to batch statistics (degraded-but-sane), NOT normalize with the
+    identity mean=0/var=1 init."""
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.nn.layers import BatchNorm
+
+    random_seed(17)
+    bn = BatchNorm(dim=4)
+    rng = np.random.RandomState(0)
+    x = (rng.randn(32, 4) * 3.0 + 7.0).astype(np.float32)  # far from N(0,1)
+
+    assert float(bn.buffers["count"]) == 0.0
+    bn.set_phase("TEST")
+    out = bn.forward(Tensor(x)).numpy()
+    # batch-stat normalization: near zero mean / unit var per feature
+    np.testing.assert_allclose(out.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(out.std(0), 1.0, atol=1e-2)
+
+    # after ONE train update the EMA path takes over
+    bn.set_phase("TRAIN")
+    bn.forward(Tensor(x))
+    assert float(bn.buffers["count"]) == 1.0
+    bn.set_phase("TEST")
+    out2 = bn.forward(Tensor(x)).numpy()
+    assert not np.allclose(out2.mean(0), 0.0, atol=1e-3)  # EMA still warming
+
+    # traced-count path (buffers as jit args) selects the same branches
+    import jax
+
+    bn2 = BatchNorm(dim=4)
+    bn2.set_phase("TEST")
+
+    def fwd(buffers, xv):
+        bn2.buffers = dict(buffers)
+        return bn2.forward(Tensor(xv)).data
+
+    traced0 = np.asarray(jax.jit(fwd)(
+        {"mean": jnp.zeros(4), "var": jnp.ones(4),
+         "count": jnp.zeros(())}, x))
+    np.testing.assert_allclose(traced0.mean(0), 0.0, atol=1e-4)
+    traced1 = np.asarray(jax.jit(fwd)(
+        {"mean": jnp.zeros(4), "var": jnp.ones(4),
+         "count": jnp.ones(())}, x))
+    np.testing.assert_allclose(traced1, (x - 0.0) / np.sqrt(1.0 + bn2.eps),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_eager_forward_buffer_updates_survive_fused_step():
+    """Review r3 finding: an eager TRAIN forward interleaved between fused
+    steps commits an EMA update into layer state; the next fused call must
+    adopt it rather than overwrite it with a stale cached tree."""
+    from tinynn_autograd_tpu.nn.layers import BatchNorm
+
+    random_seed(19)
+    net = Net([Dense(8, num_in=4), BatchNorm(), Dense(2, num_in=8)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 4).astype(np.float32)
+    y = np.eye(2, dtype=np.float32)[rng.randint(0, 2, 16)]
+
+    model.train_step(x, y)                      # count = 1 (fused)
+    model.forward(Tensor(x))                    # count = 2 (eager commit)
+    bn = net.layers[1]
+    assert float(bn.buffers["count"]) == 2.0
+    model.train_step(x, y)                      # must continue at 3
+    assert float(bn.buffers["count"]) == 3.0
+
+
+def test_forced_fused_tiers_reject_buffer_carrying_nets():
+    """Review r3 finding: forced fused=True/'stream' bypasses the auto
+    tier's supports() checks and would silently freeze running stats."""
+    from tinynn_autograd_tpu.nn.layers import BatchNorm
+
+    random_seed(21)
+    net = Net([Dense(8, num_in=4), BatchNorm(), Dense(2, num_in=8)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 4).astype(np.float32)
+    y = np.eye(2, dtype=np.float32)[rng.randint(0, 2, 16)]
+    for forced in (True, "stream"):
+        with pytest.raises(ValueError, match="buffer-carrying"):
+            model.train_epochs(x, y, n_epochs=1, batch_size=8, fused=forced)

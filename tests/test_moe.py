@@ -232,3 +232,23 @@ def test_ep_a2a_aux_loss_fights_router_collapse():
     balanced = max_load_after(0.05)
     assert collapsed > 0.9, collapsed          # stays collapsed without aux
     assert balanced < collapsed - 0.3, (balanced, collapsed)
+
+
+def test_ep_a2a_aux_gradient_mesh_invariant():
+    """Review r3 finding: the aux-loss cotangent must be the FULL weight a
+    on every device (psum_'s VJP is identity-per-shard), not a/n — the
+    gate update with the aux loss on must therefore be identical across
+    mesh sizes for the same global batch."""
+    x, y = _data(64)
+    updates = {}
+    for n in (2, 4):
+        ep = ExpertParallel(_a2a_model(1, opt=SGD(lr=1.0)),
+                            mesh=make_mesh(n, axis_name="expert"),
+                            dispatch="a2a", capacity_factor=16.0,
+                            aux_loss_weight=0.5)
+        wg_before = ep.net.layers[2].params["wg"].numpy().copy()
+        ep.train_step(x, y)
+        wg_after = np.asarray(ep._params[2]["wg"])
+        updates[n] = wg_after - wg_before
+    np.testing.assert_allclose(updates[2], updates[4],
+                               rtol=3e-4, atol=1e-6)

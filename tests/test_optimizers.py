@@ -142,3 +142,26 @@ def test_cosine_schedule_endpoints():
 
     assert abs(float(sched(jnp.asarray(0))) - 1.0) < 1e-6
     assert abs(float(sched(jnp.asarray(100))) - 0.1) < 1e-6
+
+
+def test_step_leaf_preserves_dtypes_without_override():
+    """Review r3 finding: step_leaf upcasts slots to f32 for the math but
+    must hand back slots in their INPUT dtype (stable lax.scan carries for
+    non-f32 params) and the step in the gradient's dtype."""
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.nn.optimizer import Momentum
+
+    opt = Momentum(0.1)
+    g = jnp.ones((4,), jnp.bfloat16)
+    slots = {"acc": jnp.zeros((4,), jnp.bfloat16)}
+    step, new = opt.step_leaf(g, 0.1, jnp.zeros((), jnp.int32), slots)
+    assert new["acc"].dtype == jnp.bfloat16
+    assert step.dtype == jnp.bfloat16
+    # and f32 in -> f32 out, unchanged math
+    g32 = jnp.ones((4,), jnp.float32)
+    step32, new32 = opt.step_leaf(g32, 0.1, jnp.zeros((), jnp.int32),
+                                  {"acc": jnp.zeros((4,), jnp.float32)})
+    assert new32["acc"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(step32), -0.1 * np.ones(4),
+                               rtol=1e-6)

@@ -192,3 +192,34 @@ def test_psum_scatter_forward_and_vjp():
     # dL/dx_d = 2 * sum (same for every device, laid out full-length)
     np.testing.assert_allclose(np.asarray(dx).reshape(4, 8, 2),
                                np.stack([2 * xsum] * 4), rtol=1e-5)
+
+
+def test_dp_phase_sync_and_bn_test_fallback():
+    """Review r3 findings: (a) DP training must flip the MODEL phase (its
+    predict cache is keyed by it — a desync would cache a TRAIN trace
+    under the TEST key); (b) a DP-trained BatchNorm model (buffers never
+    threaded) must fall back to batch statistics in TEST, not normalize
+    with the untouched mean=0/var=1 init."""
+    from tinynn_autograd_tpu.nn.layers import BatchNorm
+
+    random_seed(23)
+    net = Net([Dense(16, num_in=8), BatchNorm(), ReLU(),
+               Dense(4, num_in=16)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.05))
+    dp = DataParallel(model, mesh=make_mesh(8))
+    rng = np.random.RandomState(0)
+    x = (rng.randn(64, 8) * 2.0 + 3.0).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 64)]
+
+    model.set_phase("TEST")
+    dp.train_step(x, y)
+    assert model.get_phase() == "TRAIN"     # (a) phase stayed in sync
+
+    # (b) stats never updated under DP; TEST uses batch statistics -> the
+    # prediction equals a TRAIN-phase forward with the same params
+    assert float(net.layers[1].buffers["count"]) == 0.0
+    model.set_phase("TEST")
+    test_out = dp.predict(x).numpy()
+    model.set_phase("TRAIN")
+    train_out = np.asarray(model.forward(Tensor(x)).data)
+    np.testing.assert_allclose(test_out, train_out, rtol=1e-4, atol=1e-5)

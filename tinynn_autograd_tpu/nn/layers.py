@@ -402,7 +402,7 @@ class BatchNorm(Layer):
         }
         self.shapes = {"gamma": [1, dim], "beta": [1, dim]}
         self.params = {"gamma": None, "beta": None}
-        self.buffers = {"mean": None, "var": None}
+        self.buffers = {"mean": None, "var": None, "count": None}
         self._is_init = False
         if dim is not None:
             self._init_parameters(dim)
@@ -425,22 +425,39 @@ class BatchNorm(Layer):
             self._new_buffers = {
                 "mean": (1 - m) * self.buffers["mean"] + m * mu,
                 "var": (1 - m) * self.buffers["var"] + m * var,
+                "count": self.buffers["count"] + 1.0,
             }
             if not isinstance(mu, jax.core.Tracer):
                 # eager forward: commit immediately; traced forwards leave
                 # the commit to the fused step via collect_buffer_updates
                 self.buffers.update(self._new_buffers)
             return out
-        if self.buffers["mean"] is not None:
-            import jax.numpy as jnp
 
+        # TEST: running stats if the EMA has EVER updated ("count" buffer
+        # — training paths that don't thread buffers, e.g. the parallel
+        # wrappers, leave it at 0), else fall back to batch statistics
+        # (the classic degraded-but-sane behavior; mean=0/var=1 identity
+        # normalization would be silently wrong).
+        import jax.numpy as jnp
+
+        count = self.buffers.get("count")
+
+        def ema_out():
             inv = 1.0 / jnp.sqrt(self.buffers["var"] + self.eps)
             return ((inputs - self.buffers["mean"])
                     * (self.params["gamma"] * inv) + self.params["beta"])
-        out, _, _ = ops.batch_norm_(
+
+        if count is None or (not isinstance(count, jax.core.Tracer)
+                             and float(count) > 0):
+            return ema_out()
+        out_b, _, _ = ops.batch_norm_(
             inputs, self.params["gamma"], self.params["beta"],
             axes=axes, eps=self.eps)
-        return out
+        if not isinstance(count, jax.core.Tracer):
+            return out_b
+        # traced count (buffers passed as jit args): select at runtime
+        flag = (count > 0).astype(jnp.float32)
+        return ema_out() * flag + out_b * (1.0 - flag)
 
     def init_params(self, input_shape):
         if not self._is_init:
@@ -454,9 +471,12 @@ class BatchNorm(Layer):
         self.params["gamma"] = self.initializers["gamma"](self.shapes["gamma"])
         self.params["beta"] = self.initializers["beta"](self.shapes["beta"])
         # torch-style EMA start; a static structure lets the buffers ride
-        # the scan carry of the fused epoch from step 0
+        # the scan carry of the fused epoch from step 0. "count" tracks
+        # whether the EMA has ever updated, so TEST can fall back to batch
+        # statistics when a training path never threaded buffers.
         self.buffers = {"mean": jnp.zeros((int(dim),), jnp.float32),
-                        "var": jnp.ones((int(dim),), jnp.float32)}
+                        "var": jnp.ones((int(dim),), jnp.float32),
+                        "count": jnp.zeros((), jnp.float32)}
         self._is_init = True
 
 

@@ -104,8 +104,11 @@ class Model:
         training can interleave without silently resetting moments."""
         if self._params is None:
             self._params = self.net.params_tree()
-        if self._buffers is None:
-            self._buffers = self.net.buffers_tree()
+        # buffers re-read from the layers EVERY time: eager TRAIN forwards
+        # commit EMA updates into layer state without invalidating the
+        # fused cache, so the layers (kept in sync by _rebind_concrete
+        # after every fused call) are the single source of truth
+        self._buffers = self.net.buffers_tree()
         if self._opt_state is None:
             existing = self.optimizer.state_dict()
             self._opt_state = (existing if existing is not None
@@ -221,6 +224,15 @@ class Model:
         # VMEM megakernel), "stream" (HBM weight-streaming kernels for
         # bodies too big for VMEM), then "scan" (plain lax.scan of the
         # fused step, always works)
+        if fused in (True, "stream") and self.net.has_buffers():
+            # forced Pallas tiers run the epoch body without threading the
+            # buffers tree, so buffer-carrying layers (BatchNorm) would
+            # train with silently frozen running stats; "auto" excludes
+            # them via the tiers' supports() checks
+            raise ValueError(
+                "fused=%r cannot run nets with buffer-carrying layers "
+                "(e.g. BatchNorm): running statistics would not update. "
+                "Use fused='auto' or fused=False." % (fused,))
         if fused is True:
             kinds = ["mega"]
         elif fused == "stream":
@@ -573,6 +585,11 @@ class Model:
             for layer, tree in zip(self.net.layers, payload["buffers"]):
                 for k, arr in tree.items():
                     layer.buffers[k] = jnp.asarray(arr)
+                if (tree and "count" not in tree
+                        and "count" in getattr(layer, "buffers", {})):
+                    # pre-"count" checkpoint carrying live stats: mark the
+                    # EMA as updated so TEST uses them, not the fallback
+                    layer.buffers["count"] = jnp.ones((), jnp.float32)
         if payload.get("opt_state") is not None:
             self._opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
             self.optimizer.load_state_dict(self._opt_state)

@@ -115,9 +115,7 @@ class Net:
         bound buffers through. Called inside the fused step so buffer
         updates become outputs of the jitted program."""
         out = []
-        for layer in self.layers:
-            buf = {k: v for k, v in getattr(layer, "buffers", {}).items()
-                   if v is not None}
+        for layer, buf in zip(self.layers, self.buffers_tree()):
             buf.update(getattr(layer, "_new_buffers", None) or {})
             out.append(buf)
         return out

@@ -71,14 +71,24 @@ class BaseOptimizer:
 
     def step_leaf(self, g, lr, t, slots):
         """Dtype-managing wrapper around the per-leaf update rule: slots
-        are upcast to f32 for the math and new slots are stored back in
-        ``slot_dtype``. Every execution tier (eager facade, fused step,
-        scanned epoch, streaming backward kernel) goes through here."""
-        slots32 = {k: v.astype(jnp.float32) for k, v in slots.items()}
+        are upcast to f32 for the math, then new slots are stored back in
+        ``slot_dtype`` — or, when no override is set, in each slot's OWN
+        input dtype, so carried state keeps a stable type under lax.scan
+        (e.g. bf16-param training: bf16 slots in must mean bf16 slots
+        out). The step is returned in the gradient's dtype so params are
+        not silently promoted. Every execution tier (eager facade, fused
+        step, scanned epoch, streaming backward kernel) goes through
+        here."""
+        slots32 = {k: jnp.asarray(v).astype(jnp.float32)
+                   for k, v in slots.items()}
         step, new = self._step_leaf(g, lr, t, slots32)
-        if self.slot_dtype is not None:
-            new = {k: v.astype(self.slot_dtype) for k, v in new.items()}
-        return step, new
+        new = {
+            k: v.astype(self.slot_dtype if self.slot_dtype is not None
+                        else jnp.asarray(slots[k]).dtype)
+            for k, v in new.items()
+        }
+        g_dtype = jnp.asarray(g).dtype
+        return jnp.asarray(step).astype(g_dtype), new
 
     def _lr_at(self, t):
         if callable(self.lr):

@@ -269,7 +269,7 @@ class ContextParallel:
                 self, lambda host: shard_opt_state(
                     self.mesh, self._specs, host))
         if self._step_fn is None:
-            self.net.set_phase("TRAIN")
+            self.model.set_phase("TRAIN")
             self._step_fn = self._build()
 
         rep = NamedSharding(self.mesh, P())

@@ -105,7 +105,10 @@ class DataParallel:
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        self.net.set_phase("TRAIN")
+        # via the Model facade so model._phase stays in sync — predict
+        # keys its cache by phase, and a desynced phase would cache a
+        # TRAIN-mode trace under the TEST key
+        self.model.set_phase("TRAIN")
         return jax.jit(sharded, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------ train API
@@ -239,7 +242,7 @@ class DataParallel:
                 out_specs=(P(), P(), P()),
                 check_vma=False,
             )
-            self.net.set_phase("TRAIN")
+            self.model.set_phase("TRAIN")
             self._epoch_fns[key] = jax.jit(sharded, donate_argnums=(0, 1))
 
         x_all = self._place(x_all)

@@ -233,15 +233,19 @@ class ExpertParallel:
             pred, tensors, aux_losses, stats = self._forward(params, x)
             ce = loss_fn.loss(pred, Tensor(y))
             if a2a:
-                # Seed backward from J_s = (local CE + a*aux)/n so that
-                # sum_s J_s = global-mean CE + a*aux: expert grads (which
-                # accumulate every device's cotangents via the a2a adjoint)
-                # come out as d(global objective) directly, and replicated
-                # grads (partial, local tokens only) need exactly one psum.
-                total = ce
+                # Seed backward from J_s = local_CE/n + a*aux. The grads
+                # are assembled as psum-of-local-grads (replicated leaves)
+                # / a2a-accumulated cotangents (expert leaves), so what
+                # matters is the per-path cotangent each device's tape
+                # contributes: CE needs 1/n (psum over n devices then
+                # reassembles d(global-mean CE)), but aux reaches each
+                # device's tape ONLY through its local probs (psum_'s VJP
+                # is identity-per-shard), so its cotangent must be the
+                # full a — dividing it by n would shrink the balancing
+                # pressure with mesh size.
+                obj = ce * (1.0 / nd)
                 for aux in aux_losses:
-                    total = total + aux * self.aux_loss_weight
-                obj = total * (1.0 / nd)
+                    obj = obj + aux * self.aux_loss_weight
                 obj.backward()
             else:
                 ce.backward()
@@ -315,7 +319,7 @@ class ExpertParallel:
                 self, lambda host: shard_opt_state(
                     self.mesh, self._specs, host))
         if self._step_fn is None:
-            self.net.set_phase("TRAIN")
+            self.model.set_phase("TRAIN")
             self._step_fn = self._build()
 
         bspec = P(self.axis_name) if self.dispatch == "a2a" else P()

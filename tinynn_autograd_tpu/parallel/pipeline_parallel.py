@@ -313,7 +313,7 @@ class PipelineParallel:
         if self._opt_state is None:
             self._opt_state = adopt_pending_opt(self, self._stack_opt_state)
         if self._step_fn is None:
-            self.net.set_phase("TRAIN")
+            self.model.set_phase("TRAIN")
             self._step_fn = self._build(mb, x.shape[1], y.shape[1])
 
         rep = NamedSharding(self.mesh, P())

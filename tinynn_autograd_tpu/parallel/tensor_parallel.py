@@ -393,7 +393,7 @@ class TensorParallel:
                 self, lambda host: shard_opt_state(
                     self.mesh, self._specs, host))
         if self._step_fn is None:
-            self.net.set_phase("TRAIN")
+            self.model.set_phase("TRAIN")
             self._step_fn = self._build()
 
         batch_spec = P(self.data_axis) if self.data_axis else P()
