@@ -165,3 +165,69 @@ def test_step_leaf_preserves_dtypes_without_override():
     assert new32["acc"].dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(step32), -0.1 * np.ones(4),
                                rtol=1e-6)
+
+
+def test_stochastic_round_cast_unbiased_and_kernel_safe():
+    """E[sr(x)] == x elementwise: casting a large array of identical
+    values sitting between bf16 grid points must average to ~x, where
+    round-to-nearest is biased to one grid point by construction."""
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.ops.primitives import stochastic_round_cast
+
+    # 1 + 2^-9 sits a QUARTER of the way between bf16 grid points 1.0 and
+    # 1 + 2^-8: nearest always rounds DOWN to 1.0; SR must round up with
+    # probability ~0.25
+    x = jnp.full((256, 256), 1.0 + 2.0 ** -9, jnp.float32)
+    near = np.asarray(x.astype(jnp.bfloat16), np.float32)
+    assert (near == 1.0).all()
+    sr = np.asarray(stochastic_round_cast(x, jnp.bfloat16, 7), np.float32)
+    up_frac = (sr > 1.0).mean()
+    assert abs(up_frac - 0.25) < 0.02, up_frac
+    np.testing.assert_allclose(sr.mean(), 1.0 + 2.0 ** -9, rtol=3e-5)
+    # different seeds give different rounding patterns
+    sr2 = np.asarray(stochastic_round_cast(x, jnp.bfloat16, 8), np.float32)
+    assert (sr != sr2).mean() > 0.1
+
+
+def test_stochastic_rounding_fixes_bf16_ema_stall():
+    """The motivating property: an EMA whose relative increments are below
+    bf16 resolution STALLS under round-to-nearest but tracks the true
+    value in expectation under stochastic rounding."""
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.ops.primitives import stochastic_round_cast
+
+    target, rate, steps = 1.1, 1e-3, 3000
+    v_near = jnp.full((64, 128), 1.0, jnp.bfloat16)
+    v_sr = jnp.full((64, 128), 1.0, jnp.bfloat16)
+    for t in range(steps):
+        upd_n = v_near.astype(jnp.float32) * (1 - rate) + rate * target
+        v_near = upd_n.astype(jnp.bfloat16)
+        upd_s = v_sr.astype(jnp.float32) * (1 - rate) + rate * target
+        v_sr = stochastic_round_cast(upd_s, jnp.bfloat16, t)
+    true_v = 1.0 + (target - 1.0) * (1 - (1 - rate) ** steps)  # ~1.095
+    assert float(np.asarray(v_near, np.float32).mean()) == 1.0  # stalled
+    np.testing.assert_allclose(
+        float(np.asarray(v_sr, np.float32).mean()), true_v, rtol=0.02)
+
+
+def test_adam_bf16_sr_converges_with_fused_step():
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.nn.layers import Dense, ReLU
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn.net import Net
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 16).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 64)]
+    random_seed(31)
+    net = Net([Dense(32, num_in=16), ReLU(), Dense(4, num_in=32)])
+    m = Model(net, SoftmaxCrossEntropyLoss(),
+              Adam(1e-2, slot_dtype=jnp.bfloat16, stochastic_rounding=True))
+    losses = [float(m.train_step(x, y)) for _ in range(40)]
+    assert losses[-1] < losses[0] * 0.3
+    assert m._opt_state["slots"]["v"][0]["w"].dtype == jnp.bfloat16

@@ -38,20 +38,27 @@ class BaseOptimizer:
     # names of per-parameter state slots, e.g. ("m", "v") for Adam
     slot_names = ()
 
-    def __init__(self, lr, weight_decay=0.0, slot_dtype=None):
+    def __init__(self, lr, weight_decay=0.0, slot_dtype=None,
+                 stochastic_rounding=False):
         """``slot_dtype``: storage dtype for the per-parameter state slots
         (e.g. ``jnp.bfloat16`` to halve optimizer-state memory AND the HBM
         slot traffic that bounds Adam on the weight-streaming path — see
         BENCHMARKS.md walls). The update math always runs in float32; only
-        the stored moments are rounded. Opt-in with a real numerics cost:
-        round-to-nearest EMA drops relative increments below bf16's 2^-8
-        resolution, so slow-moving slots (Adam's v at small lr*g) can
-        stall and convergence lags the f32 twin — a memory/traffic relief
-        mode, not a free default (stochastic rounding would close the
-        gap; future work)."""
+        the stored moments are rounded.
+
+        With the default round-to-nearest, bf16 storage has a real
+        numerics cost: relative EMA increments below bf16's 2^-8
+        resolution are dropped, so slow-moving slots (Adam's v at small
+        lr*g) can stall and convergence lags the f32 twin.
+        ``stochastic_rounding=True`` fixes this in expectation: random
+        bits below the mantissa cutoff decide the rounding direction
+        (ops.primitives.stochastic_round_cast, seeded from the on-device
+        step counter + a per-leaf salt), so E[stored] == exact — the
+        standard recipe for sound bf16 optimizer state."""
         self.lr = lr
         self.weight_decay = weight_decay
         self.slot_dtype = slot_dtype
+        self.stochastic_rounding = stochastic_rounding
         self._state = None
 
     # ------------------------------------------------------ functional API
@@ -69,24 +76,37 @@ class BaseOptimizer:
         }
         return {"t": jnp.zeros((), jnp.int32), "slots": slots}
 
-    def step_leaf(self, g, lr, t, slots):
+    def step_leaf(self, g, lr, t, slots, salt=0):
         """Dtype-managing wrapper around the per-leaf update rule: slots
         are upcast to f32 for the math, then new slots are stored back in
         ``slot_dtype`` — or, when no override is set, in each slot's OWN
         input dtype, so carried state keeps a stable type under lax.scan
         (e.g. bf16-param training: bf16 slots in must mean bf16 slots
         out). The step is returned in the gradient's dtype so params are
-        not silently promoted. Every execution tier (eager facade, fused
-        step, scanned epoch, streaming backward kernel) goes through
-        here."""
+        not silently promoted. ``salt`` decorrelates the stochastic-
+        rounding streams across leaves/layers. Every execution tier
+        (eager facade, fused step, scanned epoch, streaming backward
+        kernel) goes through here."""
         slots32 = {k: jnp.asarray(v).astype(jnp.float32)
                    for k, v in slots.items()}
         step, new = self._step_leaf(g, lr, t, slots32)
-        new = {
-            k: v.astype(self.slot_dtype if self.slot_dtype is not None
-                        else jnp.asarray(slots[k]).dtype)
-            for k, v in new.items()
-        }
+        if self.slot_dtype is not None and self.stochastic_rounding:
+            from tinynn_autograd_tpu.ops.primitives import (
+                stochastic_round_cast,
+            )
+
+            new = {
+                k: stochastic_round_cast(
+                    v, self.slot_dtype,
+                    t * 1000003 + jnp.int32(salt) * 8191 + si)
+                for si, (k, v) in enumerate(sorted(new.items()))
+            }
+        else:
+            new = {
+                k: v.astype(self.slot_dtype if self.slot_dtype is not None
+                            else jnp.asarray(slots[k]).dtype)
+                for k, v in new.items()
+            }
         g_dtype = jnp.asarray(g).dtype
         return jnp.asarray(step).astype(g_dtype), new
 
@@ -116,7 +136,7 @@ class BaseOptimizer:
         for i, (g, p) in enumerate(zip(g_leaves, p_leaves)):
             g = g.astype(p.dtype)
             slots_i = {n: slot_leaves[n][i] for n in self.slot_names}
-            step, updated = self.step_leaf(g, lr, t, slots_i)
+            step, updated = self.step_leaf(g, lr, t, slots_i, salt=i)
             if self.weight_decay:
                 step = step - self.weight_decay * p
             steps.append(step)
@@ -174,8 +194,8 @@ class Momentum(BaseOptimizer):
     slot_names = ("acc",)
 
     def __init__(self, lr, momentum=0.9, weight_decay=0.0,
-                 slot_dtype=None):
-        super().__init__(lr, weight_decay, slot_dtype)
+                 slot_dtype=None, stochastic_rounding=False):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
         self._momentum = momentum
 
     def _step_leaf(self, g, lr, t, slots):
@@ -192,8 +212,9 @@ class Adam(BaseOptimizer):
     slot_names = ("m", "v")
 
     def __init__(self, lr=0.001, beta1=0.9, beta2=0.999, epsilon=1e-8,
-                 weight_decay=0.0, slot_dtype=None):
-        super().__init__(lr, weight_decay, slot_dtype)
+                 weight_decay=0.0, slot_dtype=None,
+                 stochastic_rounding=False):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
         self._b1 = beta1
         self._b2 = beta2
         self._eps = epsilon
@@ -217,8 +238,9 @@ class RMSProp(BaseOptimizer):
     slot_names = ("ms", "mom")
 
     def __init__(self, lr=0.01, decay=0.99, momentum=0.0, epsilon=1e-8,
-                 weight_decay=0.0, slot_dtype=None):
-        super().__init__(lr, weight_decay, slot_dtype)
+                 weight_decay=0.0, slot_dtype=None,
+                 stochastic_rounding=False):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
         self._decay = decay
         self._momentum = momentum
         self._eps = epsilon
@@ -236,8 +258,8 @@ class Adagrad(BaseOptimizer):
     slot_names = ("G",)
 
     def __init__(self, lr, weight_decay=0.0, epsilon=1e-8,
-                 slot_dtype=None):
-        super().__init__(lr, weight_decay, slot_dtype)
+                 slot_dtype=None, stochastic_rounding=False):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
         self._eps = epsilon
 
     def _step_leaf(self, g, lr, t, slots):
@@ -254,8 +276,8 @@ class Adadelta(BaseOptimizer):
     slot_names = ("Eg", "d")
 
     def __init__(self, lr=1.0, weight_decay=0.0, decay=0.9, epsilon=1e-8,
-                 slot_dtype=None):
-        super().__init__(lr, weight_decay, slot_dtype)
+                 slot_dtype=None, stochastic_rounding=False):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
         self._decay = decay
         self._eps = epsilon
 

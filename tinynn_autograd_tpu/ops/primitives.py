@@ -590,6 +590,51 @@ def _hash_bits_u32(shape, seed):
     return x.reshape(shape)
 
 
+def _flat_iota_u32(shape):
+    """Row-major flat element index as uint32, built from per-dim
+    broadcasted_iota so it lowers in BOTH XLA and Mosaic (1-D lax.iota
+    does not lower inside TPU kernels)."""
+    idx = None
+    stride = 1
+    for d in reversed(range(len(shape))):
+        term = jax.lax.broadcasted_iota(jnp.uint32, shape, d) * jnp.uint32(
+            stride)
+        idx = term if idx is None else idx + term
+        stride *= int(shape[d])
+    return idx
+
+
+def stochastic_round_cast(x, dtype, seed):
+    """float32 -> bfloat16 with STOCHASTIC rounding: uniform random bits
+    are added below the bf16 mantissa cutoff before truncation, so
+    E[result] == x elementwise. This is what makes low-precision EMA
+    state sound: round-to-nearest drops relative increments below bf16's
+    2^-8 resolution (slow-moving Adam v stalls), while stochastic
+    rounding preserves them in expectation.
+
+    ``seed`` may be a traced int (e.g. the step counter) — the bits come
+    from the same counter-hash used by interpret-mode dropout, built on
+    broadcasted_iota so the cast runs in every tier (eager, fused jit,
+    scanned epoch, and inside Pallas kernels). Not a tape primitive (no
+    gradient flows through optimizer state)."""
+    if jnp.dtype(dtype) != jnp.bfloat16:
+        return x.astype(dtype)
+    xf = x.astype(jnp.float32)
+    if xf.ndim < 2:
+        # Mosaic needs >=2-D iota; tiny leaves only exist on XLA paths
+        bits_r = _hash_bits_u32(xf.shape, seed)
+    else:
+        h = _flat_iota_u32(xf.shape)
+        h = h + jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(2654435761)
+        h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
+        h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
+        bits_r = h ^ (h >> 16)
+    bits = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    bits = bits + (bits_r & jnp.uint32(0xFFFF))
+    bits = bits & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32).astype(dtype)
+
+
 def layer_norm_(ts_x, ts_gamma, ts_beta, eps=1e-5):
     """Layer normalization over the LAST axis with learned scale/shift:
     y = (x - mean)/sqrt(var + eps) * gamma + beta.

@@ -214,8 +214,11 @@ def _build_backward(L, B, W, act_name, optimizer, C, interpret):
 
             sw = {n: slot_w_in[k][j] for k, n in enumerate(slot_names)}
             # step_leaf upcasts bf16-stored slots to f32 for the math and
-            # rounds the new values back to the storage dtype
-            step_w, new_sw = optimizer.step_leaf(dw, lr, t, sw)
+            # rounds the new values back to the storage dtype (salted by
+            # the global layer index so stochastic-rounding streams are
+            # decorrelated across layers)
+            step_w, new_sw = optimizer.step_leaf(dw, lr, t, sw,
+                                                 salt=s + j)
             if wd:
                 step_w = step_w - wd * w_ref[j]
             new_w_ref[j] = w_ref[j] + step_w
@@ -352,7 +355,8 @@ def build_streaming_step(net, loss_fn, optimizer, interpret=False):
         # stacked-bias update: the [L,1,W] leaf through the same per-leaf
         # rule (elementwise, so one stacked call == L per-layer calls)
         sb = {n: slots[n][stack_idx]["b"] for n in slot_names}
-        step_b, new_sb = optimizer.step_leaf(db_stack, lr, t_new, sb)
+        step_b, new_sb = optimizer.step_leaf(db_stack, lr, t_new, sb,
+                                             salt=1000000)
         if optimizer.weight_decay:
             step_b = step_b - optimizer.weight_decay * params[stack_idx]["b"]
         new_b = params[stack_idx]["b"] + step_b
