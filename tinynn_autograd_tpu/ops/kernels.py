@@ -74,6 +74,11 @@ _DISABLE = os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
 
 # Minimum problem size (in MXU tiles) before tiling beats plain XLA dot.
 _MIN_PALLAS_ELEMS = 128 * 128
+# ... and the maximum operand size past which XLA's own dot wins (2M
+# elements ~= between 1024^2 where the kernel still holds its own and
+# 2048^2+ where XLA is up to 2.2x faster; see BENCHMARKS.md walls).
+_MAX_PALLAS_WEIGHT_ELEMS = int(os.environ.get(
+    "TINYNN_TPU_PALLAS_MAX_ELEMS", str(2 * 1024 * 1024)))
 
 
 @functools.cache
@@ -100,6 +105,13 @@ def _use_pallas(a, b):
         return False
     if _FORCE:
         return True
+    # Upper cutoff (measured v5e, round 3): XLA's native dot overtakes this
+    # tiled kernel as the weight matrix grows — at [512,4096]x[4096,4096]
+    # XLA sustains 92 TFLOP/s vs the kernel's 41, while at [128,256]x
+    # [256,256] the kernel is ~12% faster on the scanned deep-MLP path and
+    # at 1024^2 it still holds ~51 TFLOP/s. Route big operands to XLA.
+    if k * n > _MAX_PALLAS_WEIGHT_ELEMS or m * k > _MAX_PALLAS_WEIGHT_ELEMS:
+        return False
     return _default_backend() == "tpu"
 
 
