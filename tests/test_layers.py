@@ -363,12 +363,14 @@ def test_batch_norm_grads_vs_numpy_oracle():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(bn.params["gamma"].grad),
                                (g64 * xhat).sum(0, keepdims=True), rtol=1e-4, atol=1e-5)
-    # running stats captured eagerly: torch-style EMA from mean=0/var=1
+    # running stats captured eagerly: torch-style EMA from mean=0/var=1,
+    # with the running var tracking the UNBIASED (Bessel, n/(n-1)) batch
+    # variance like torch's running_var
     np.testing.assert_allclose(np.asarray(bn.buffers["mean"]),
                                bn.momentum * mu[0], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(bn.buffers["var"]),
-        (1 - bn.momentum) * 1.0 + bn.momentum * var[0],
+        (1 - bn.momentum) * 1.0 + bn.momentum * var[0] * 16.0 / 15.0,
         rtol=1e-5, atol=1e-6)
 
 

@@ -19,6 +19,8 @@ the reference has pad_ and conv-aware get_fans but no conv layer), Flatten,
 Dropout, LeakyReLU / GELU / Softplus.
 """
 
+import contextlib
+
 import numpy as np
 
 import tinynn_autograd_tpu.ops as ops
@@ -26,6 +28,16 @@ from tinynn_autograd_tpu.nn.initializer import (
     NormalInit, OnesInit, XavierUniformInit, ZerosInit,
 )
 from tinynn_autograd_tpu.utils import seeder
+
+
+def _init_scope(seed):
+    """Parameter-draw scope: a dedicated PRNG stream when the layer was
+    given an explicit ``seed``, else the global seeder stream. Explicit
+    seeds make a layer's init independent of GLOBAL draw order (the
+    lazy-init footgun: two models built before either trains otherwise
+    interleave their draws on the global stream)."""
+    return (seeder.scope(seed) if seed is not None
+            else contextlib.nullcontext())
 
 
 class Layer:
@@ -61,10 +73,12 @@ class Layer:
 class Dense(Layer):
     """y = x @ w + b; w: [num_in, num_out], b: [1, num_out]
     (reference: core/layers.py:25-57). ``num_in`` may be omitted and is
-    inferred from the first input (lazy init)."""
+    inferred from the first input (lazy init). ``seed`` pins the layer's
+    parameter draws to a dedicated PRNG stream independent of global draw
+    order (see utils.seeder.scope)."""
 
     def __init__(self, num_out, num_in=None,
-                 w_init=None, b_init=None):
+                 w_init=None, b_init=None, seed=None):
         super().__init__("Linear")
         self.initializers = {
             "w": w_init if w_init is not None else XavierUniformInit(),
@@ -72,6 +86,7 @@ class Dense(Layer):
         }
         self.shapes = {"w": [num_in, num_out], "b": [1, num_out]}
         self.params = {"w": None, "b": None}
+        self._seed = seed
 
         self._is_init = False
         if num_in is not None:
@@ -95,8 +110,9 @@ class Dense(Layer):
 
     def _init_parameters(self, input_size):
         self.shapes["w"][0] = int(input_size)
-        self.params["w"] = self.initializers["w"](self.shapes["w"])
-        self.params["b"] = self.initializers["b"](self.shapes["b"])
+        with _init_scope(self._seed):
+            self.params["w"] = self.initializers["w"](self.shapes["w"])
+            self.params["b"] = self.initializers["b"](self.shapes["b"])
         self._is_init = True
 
 
@@ -149,17 +165,19 @@ class Embedding(Layer):
     accumulate gradient — the correct adjoint; reference getitem overwrote,
     reference: core/ops.py:285-288). No reference counterpart layer."""
 
-    def __init__(self, vocab, dim, w_init=None):
+    def __init__(self, vocab, dim, w_init=None, seed=None):
         super().__init__("Embedding")
         self.initializers = {
             "w": w_init if w_init is not None else NormalInit(std=0.02),
         }
         self.shapes = {"w": [vocab, dim]}
         self.params = {"w": None}
+        self._seed = seed
         self._init_parameters()
 
     def _init_parameters(self):
-        self.params["w"] = self.initializers["w"](self.shapes["w"])
+        with _init_scope(self._seed):
+            self.params["w"] = self.initializers["w"](self.shapes["w"])
 
     def init_params(self, input_shape):
         return tuple(input_shape) + (self.shapes["w"][1],)
@@ -172,13 +190,15 @@ class Embedding(Layer):
 class PositionalEmbedding(Layer):
     """Learned additive position embedding: x [B, T, D] + pos [1, T, D]."""
 
-    def __init__(self, seq_len, dim, w_init=None):
+    def __init__(self, seq_len, dim, w_init=None, seed=None):
         super().__init__("PositionalEmbedding")
         self.initializers = {
             "pos": w_init if w_init is not None else NormalInit(std=0.02),
         }
         self.shapes = {"pos": [1, seq_len, dim]}
-        self.params = {"pos": self.initializers["pos"](self.shapes["pos"])}
+        with _init_scope(seed):
+            self.params = {
+                "pos": self.initializers["pos"](self.shapes["pos"])}
 
     def init_params(self, input_shape):
         return tuple(input_shape)
@@ -201,7 +221,7 @@ class TransformerBlock(Layer):
     """
 
     def __init__(self, dim, num_heads, mlp_ratio=4, causal=False,
-                 w_init=None, eps=1e-5):
+                 w_init=None, eps=1e-5, seed=None):
         super().__init__("TransformerBlock")
         assert dim % num_heads == 0, (dim, num_heads)
         self.dim = dim
@@ -222,13 +242,14 @@ class TransformerBlock(Layer):
         zeros = ZerosInit()
         ones = OnesInit()
         self.params = {}
-        for k, shape in self.shapes.items():
-            if k.startswith("g"):
-                self.params[k] = ones(shape)
-            elif k.startswith(("b", "be")):
-                self.params[k] = zeros(shape)
-            else:
-                self.params[k] = init(shape)
+        with _init_scope(seed):
+            for k, shape in self.shapes.items():
+                if k.startswith("g"):
+                    self.params[k] = ones(shape)
+                elif k.startswith(("b", "be")):
+                    self.params[k] = zeros(shape)
+                else:
+                    self.params[k] = init(shape)
 
     def init_params(self, input_shape):
         return tuple(input_shape)
@@ -273,19 +294,24 @@ class MoE(Layer):
     through the probability (the standard straight-through-free Switch
     gradient; the discrete CHOICE itself is not differentiated).
 
-    Compute is the exact dense-select formulation — every expert runs on
-    every token and a one-hot mask selects — which keeps the numerics
-    bit-deterministic and lets parallel.ExpertParallel shard the EXPERTS
-    across a mesh with one psum, remaining exactly equal to single-device.
+    Compute is the exact dense-select formulation — EVERY expert runs on
+    EVERY token and a one-hot mask selects, i.e. the layer costs E x the
+    routed FLOPs. That keeps the numerics bit-deterministic and lets
+    parallel.ExpertParallel shard the EXPERTS across a mesh with one psum,
+    remaining exactly equal to single-device — but it is NOT the scaling
+    path: for production-scale expert counts use
+    ``ExpertParallel(..., dispatch="a2a")`` (capacity-factor all_to_all
+    token dispatch, aggregate FLOPs ~ capacity_factor/E of dense-select).
     Params are stacked [E, ...] leaves (batched matmuls on the MXU).
     No reference counterpart."""
 
     def __init__(self, num_experts, dim=None, hidden=None, w_init=None,
-                 gate_init=None):
+                 gate_init=None, seed=None):
         super().__init__("MoE")
         self.num_experts = num_experts
         self.dim = dim
         self.hidden = hidden
+        self._seed = seed
         self._w_init = w_init if w_init is not None else XavierUniformInit()
         self._g_init = (gate_init if gate_init is not None
                         else NormalInit(std=0.02))
@@ -311,10 +337,11 @@ class MoE(Layer):
         self.shapes = {"wg": [dim, E], "w1": [E, dim, hidden],
                        "b1": [E, 1, hidden], "w2": [E, hidden, dim],
                        "b2": [E, 1, dim]}
-        self.params["wg"] = self._g_init(self.shapes["wg"])
-        # per-expert fan-correct draws, stacked
-        w1 = [self._w_init((dim, hidden)).data for _ in range(E)]
-        w2 = [self._w_init((hidden, dim)).data for _ in range(E)]
+        with _init_scope(self._seed):
+            self.params["wg"] = self._g_init(self.shapes["wg"])
+            # per-expert fan-correct draws, stacked
+            w1 = [self._w_init((dim, hidden)).data for _ in range(E)]
+            w2 = [self._w_init((hidden, dim)).data for _ in range(E)]
         import jax.numpy as jnp
 
         self.params["w1"] = Tensor(jnp.stack(w1), requires_grad=True)
@@ -422,9 +449,17 @@ class BatchNorm(Layer):
                 inputs, self.params["gamma"], self.params["beta"],
                 axes=axes, eps=self.eps)
             m = self.momentum
+            # torch-style EMA: normalization uses the biased batch variance,
+            # but the RUNNING var tracks the unbiased (Bessel-corrected)
+            # estimate, n/(n-1) — matching torch so a torch-trained twin's
+            # TEST statistics line up at small batch sizes
+            n = 1
+            for a in axes:
+                n *= inputs.shape[a]
+            var_u = var * (n / (n - 1.0)) if n > 1 else var
             self._new_buffers = {
                 "mean": (1 - m) * self.buffers["mean"] + m * mu,
-                "var": (1 - m) * self.buffers["var"] + m * var,
+                "var": (1 - m) * self.buffers["var"] + m * var_u,
                 "count": self.buffers["count"] + 1.0,
             }
             if not isinstance(mu, jax.core.Tracer):
@@ -509,7 +544,7 @@ class Conv2D(Layer):
     """
 
     def __init__(self, kernel, stride=1, padding="SAME",
-                 w_init=None, b_init=None, impl="xla"):
+                 w_init=None, b_init=None, impl="xla", seed=None):
         """kernel: (KH, KW, C_in, C_out) — C_in may be None for lazy init.
 
         impl: "xla" (default) runs the conv2d_ primitive whose fwd and both
@@ -528,6 +563,7 @@ class Conv2D(Layer):
         self.shapes = {"w": self.kernel_shape,
                        "b": [1, self.kernel_shape[3]]}
         self.params = {"w": None, "b": None}
+        self._seed = seed
         self._is_init = False
         if self.kernel_shape[2] is not None:
             self._init_parameters(self.kernel_shape[2])
@@ -547,10 +583,11 @@ class Conv2D(Layer):
         # fan_out = C_out) and reshape to HWIO — get_fans can't infer fans
         # from an HWIO 4-D shape, and the draw is iid so reshaping
         # preserves the distribution
-        flat = self.initializers["w"]((kh * kw * c_in, c_out))
-        self.params["w"] = Tensor(
-            flat.data.reshape(kh, kw, c_in, c_out), requires_grad=True)
-        self.params["b"] = self.initializers["b"](self.shapes["b"])
+        with _init_scope(self._seed):
+            flat = self.initializers["w"]((kh * kw * c_in, c_out))
+            self.params["w"] = Tensor(
+                flat.data.reshape(kh, kw, c_in, c_out), requires_grad=True)
+            self.params["b"] = self.initializers["b"](self.shapes["b"])
         self._is_init = True
 
     def init_params(self, input_shape):
@@ -704,11 +741,12 @@ class DenseStack(Layer):
     """
 
     def __init__(self, depth, width=None, activation="relu", w_init=None,
-                 b_init=None):
+                 b_init=None, seed=None):
         super().__init__("DenseStack")
         self.depth = depth
         self.width = width
         self.activation = activation
+        self._seed = seed
         self.initializers = {
             "w": w_init if w_init is not None else XavierUniformInit(),
             "b": b_init if b_init is not None else ZerosInit(),
@@ -730,10 +768,11 @@ class DenseStack(Layer):
         self.shapes = {"w": [self.depth, self.width, self.width],
                        "b": [self.depth, 1, self.width]}
         # per-layer draws with the correct 2-D fans, stacked
-        ws = [self.initializers["w"]((self.width, self.width)).data
-              for _ in range(self.depth)]
-        bs = [self.initializers["b"]((1, self.width)).data
-              for _ in range(self.depth)]
+        with _init_scope(self._seed):
+            ws = [self.initializers["w"]((self.width, self.width)).data
+                  for _ in range(self.depth)]
+            bs = [self.initializers["b"]((1, self.width)).data
+                  for _ in range(self.depth)]
         import jax.numpy as jnp
 
         self.params = {

@@ -97,6 +97,29 @@ class Model:
     def _params(self, v):
         self._params_cache = v
 
+    def _config_fingerprint(self):
+        """Hyperparameter fingerprint of the (optimizer, loss) pair, folded
+        into every compiled-train-program cache key: the compiled runners
+        close over ``self.optimizer``/``self.loss``, so mutating
+        ``optimizer.lr`` (or any other hyperparam) or swapping the loss
+        object after the first compile must trigger a recompile instead of
+        silently keeping the old program."""
+        def fp(obj):
+            items = []
+            for k, v in sorted(vars(obj).items()):
+                if k == "_state":  # live optimizer state, not config
+                    continue
+                if isinstance(v, (bool, int, float, str, type(None))):
+                    items.append((k, v))
+                else:
+                    # schedules, dtype objects, weight arrays: identity —
+                    # a swapped object recompiles, in-place mutation of the
+                    # same array is out of scope
+                    items.append((k, id(v)))
+            return (type(obj).__name__, tuple(items))
+
+        return (fp(self.optimizer), fp(self.loss))
+
     def _prepare_state(self):
         """Materialize the fused-path state, staying coherent with the eager
         optimizer facade: adopt its state if it already stepped, and every
@@ -127,7 +150,7 @@ class Model:
         if self._phase != "TRAIN":
             self.set_phase("TRAIN")
 
-        key = ("train_step",)
+        key = ("train_step", self._config_fingerprint())
         if key not in self._jitted:
             self.net.set_phase("TRAIN")
             self._jitted[key] = jax.jit(
@@ -262,7 +285,8 @@ class Model:
             key = ("train_epochs", n_epochs, batch_size, bool(shuffle), n,
                    kind_flag, interpret,
                    x_all.shape[1:], str(x_all.dtype),
-                   y_all.shape[1:], str(y_all.dtype))
+                   y_all.shape[1:], str(y_all.dtype),
+                   self._config_fingerprint())
             if key not in self._jitted:
                 self.net.set_phase("TRAIN")
                 epoch_body = self._make_epoch_body(
@@ -288,27 +312,47 @@ class Model:
                     .compile())
             return self._jitted[key]
 
+        def deterministic_failure(e):
+            """Classify build failures: lowering/shape/type errors repeat
+            deterministically (blacklist immediately); anything else (e.g.
+            a tunnel/compile-service hiccup) gets ONE retry before the
+            kernel kind is written off, so a transient error can't demote
+            the Model to the scanned tier for its lifetime."""
+            if isinstance(e, (ValueError, TypeError, NotImplementedError,
+                              AssertionError, KeyError)):
+                return True
+            msg = str(e).lower()
+            return "mosaic" in msg or "lowering" in msg or "unsupported" in msg
+
         run = None
         for kind in kinds:
             if kind == "scan":
                 run = compiled_runner("scan")
                 break
-            try:
-                run = compiled_runner(kind)
+            err = None
+            for _attempt in range(2):
+                try:
+                    run = compiled_runner(kind)
+                    err = None
+                    break
+                except Exception as e:
+                    err = e
+                    if deterministic_failure(e):
+                        break
+            if err is None:
                 break
-            except Exception as e:
-                if fused in (True, "stream"):
-                    raise
-                # this fused kernel failed to build/compile on this config:
-                # remember per KIND and fall through to the next tier
-                import warnings
+            if fused in (True, "stream"):
+                raise err
+            # failed deterministically, or twice in a row: remember per
+            # KIND and fall through to the next tier
+            import warnings
 
-                warnings.warn(
-                    "fused %s epoch failed to build/compile (%s: %s); "
-                    "falling back" % (kind, type(e).__name__, e),
-                    RuntimeWarning)
-                self._broken_kinds = getattr(self, "_broken_kinds", set())
-                self._broken_kinds.add(kind)
+            warnings.warn(
+                "fused %s epoch failed to build/compile (%s: %s); "
+                "falling back" % (kind, type(err).__name__, err),
+                RuntimeWarning)
+            self._broken_kinds = getattr(self, "_broken_kinds", set())
+            self._broken_kinds.add(kind)
 
         self._params, self._opt_state, self._buffers, losses = run(
             self._params, self._opt_state, self._buffers, x_all, y_all, rng)
@@ -600,7 +644,8 @@ class Model:
             self.optimizer.load_state_dict(None)
         self._params = None
         self._buffers = None
-        self._jitted.pop(("train_step",), None)
+        self._jitted = {k: v for k, v in self._jitted.items()
+                        if k[0] != "train_step"}
         print("Restored model from %s." % path)
 
     # ---------------------------------------------------------------- phase

@@ -59,6 +59,14 @@ class BaseOptimizer:
         self.weight_decay = weight_decay
         self.slot_dtype = slot_dtype
         self.stochastic_rounding = stochastic_rounding
+        if (stochastic_rounding and slot_dtype is not None
+                and jnp.dtype(slot_dtype) != jnp.bfloat16):
+            # stochastic_round_cast only implements the bf16 cutoff; a
+            # silent fall-through to round-to-nearest would quietly ignore
+            # the flag the user asked for (e.g. slot_dtype=float16)
+            raise ValueError(
+                "stochastic_rounding=True is only implemented for "
+                "slot_dtype=jnp.bfloat16 (got %s)" % jnp.dtype(slot_dtype))
         self._state = None
 
     # ------------------------------------------------------ functional API

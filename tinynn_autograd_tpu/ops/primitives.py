@@ -618,7 +618,11 @@ def stochastic_round_cast(x, dtype, seed):
     scanned epoch, and inside Pallas kernels). Not a tape primitive (no
     gradient flows through optimizer state)."""
     if jnp.dtype(dtype) != jnp.bfloat16:
-        return x.astype(dtype)
+        # only the bf16 mantissa cutoff is implemented; silently degrading
+        # to round-to-nearest would ignore the caller's request
+        raise NotImplementedError(
+            "stochastic_round_cast supports bfloat16 targets only, got %s"
+            % jnp.dtype(dtype))
     xf = x.astype(jnp.float32)
     if xf.ndim < 2:
         # Mosaic needs >=2-D iota; tiny leaves only exist on XLA paths

@@ -55,6 +55,13 @@ _BUDGET_MB = float(os.environ.get("TINYNN_STREAM_VMEM_BUDGET_MB", "24"))
 _VMEM_BUDGET = int(_BUDGET_MB * 1024 * 1024)
 _VMEM_LIMIT_MB = float(os.environ.get("TINYNN_STREAM_VMEM_LIMIT_MB", "0"))
 
+# Stochastic-rounding salt spaces must be disjoint across every path that
+# rounds in the same step with the same t: BaseOptimizer.update salts by
+# leaf index (small ints), the stacked-bias update below uses BIAS_SALT,
+# and the in-kernel per-layer weight updates use KERNEL_SALT_BASE + layer.
+BIAS_SALT = 1 << 19
+KERNEL_SALT_BASE = 1 << 20
+
 
 def _compiler_params(n_grid_dims=1):
     kwargs = {"dimension_semantics": ("arbitrary",) * n_grid_dims}
@@ -214,11 +221,14 @@ def _build_backward(L, B, W, act_name, optimizer, C, interpret):
 
             sw = {n: slot_w_in[k][j] for k, n in enumerate(slot_names)}
             # step_leaf upcasts bf16-stored slots to f32 for the math and
-            # rounds the new values back to the storage dtype (salted by
-            # the global layer index so stochastic-rounding streams are
-            # decorrelated across layers)
+            # rounds the new values back to the storage dtype. Salt space:
+            # KERNEL_SALT_BASE + global layer index — disjoint from the
+            # leaf-index salts BaseOptimizer.update uses for the small
+            # prefix/suffix leaves in the SAME step (a bare s+j could
+            # collide with leaf i there, giving two same-shape tensors an
+            # identical per-element rounding bit stream)
             step_w, new_sw = optimizer.step_leaf(dw, lr, t, sw,
-                                                 salt=s + j)
+                                                 salt=KERNEL_SALT_BASE + s + j)
             if wd:
                 step_w = step_w - wd * w_ref[j]
             new_w_ref[j] = w_ref[j] + step_w
@@ -356,7 +366,7 @@ def build_streaming_step(net, loss_fn, optimizer, interpret=False):
         # rule (elementwise, so one stacked call == L per-layer calls)
         sb = {n: slots[n][stack_idx]["b"] for n in slot_names}
         step_b, new_sb = optimizer.step_leaf(db_stack, lr, t_new, sb,
-                                             salt=1000000)
+                                             salt=BIAS_SALT)
         if optimizer.weight_decay:
             step_b = step_b - optimizer.weight_decay * params[stack_idx]["b"]
         new_b = params[stack_idx]["b"] + step_b

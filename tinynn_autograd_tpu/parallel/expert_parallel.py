@@ -83,6 +83,16 @@ class ExpertParallel:
         return self.model.net
 
     def _validate(self):
+        if self.dispatch == "dense" and not getattr(self, "_warned", False):
+            import warnings
+
+            warnings.warn(
+                "ExpertParallel dispatch='dense' runs every expert on every "
+                "token (E x the routed FLOPs; exactness-first mode). For "
+                "production scaling use dispatch='a2a' (capacity-factor "
+                "all_to_all, ~capacity_factor/E of the dense FLOPs).",
+                stacklevel=3)
+            self._warned = True
         has_moe = False
         for layer in self.net.layers:
             if hasattr(layer, "set_rng"):
@@ -203,8 +213,22 @@ class ExpertParallel:
         for li, layer in enumerate(self.net.layers):
             if isinstance(layer, MoE):
                 if self.dispatch == "a2a":
-                    h, p, aux, stats = self._ep_moe_forward_a2a(
+                    h, p, aux, lstats = self._ep_moe_forward_a2a(
                         layer, params[li], h)
+                    if stats is None:
+                        stats = {"dropped": lstats["dropped"],
+                                 "load": lstats["load"],
+                                 "dropped_per_layer": [lstats["dropped"]]}
+                    else:
+                        # accumulate across MoE layers: total drop count,
+                        # per-layer breakdown; "load" reports the LAST MoE
+                        # layer's dispatch fractions (layers can differ in E)
+                        stats = {
+                            "dropped": stats["dropped"] + lstats["dropped"],
+                            "load": lstats["load"],
+                            "dropped_per_layer": (stats["dropped_per_layer"]
+                                                  + [lstats["dropped"]]),
+                        }
                     aux_losses.append(aux)
                 else:
                     h, p = self._ep_moe_forward(layer, params[li], h)
@@ -271,7 +295,9 @@ class ExpertParallel:
         batch_spec = P(axis) if a2a else P()
         out_specs = (specs, opt_spec, P())
         if a2a:
-            out_specs = out_specs + ({"dropped": P(), "load": P()},)
+            n_moe = len(expert_idx)
+            out_specs = out_specs + ({"dropped": P(), "load": P(),
+                                      "dropped_per_layer": [P()] * n_moe},)
         sharded = jax.shard_map(
             local_step, mesh=self.mesh,
             in_specs=(specs, opt_spec, batch_spec, batch_spec),
@@ -287,8 +313,9 @@ class ExpertParallel:
         scalar). "dense" runs on a replicated batch; "a2a" shards the
         batch over the expert axis (size must divide by the mesh) and
         additionally records ``self.last_stats`` = {"dropped": total
-        over-capacity tokens this step, "load": global per-expert dispatch
-        fractions}."""
+        over-capacity tokens this step summed over ALL MoE layers,
+        "load": the LAST MoE layer's global per-expert dispatch fractions,
+        "dropped_per_layer": per-MoE-layer drop counts}."""
         x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
         y = jnp.asarray(y.data if isinstance(y, Tensor) else y)
         if self.dispatch == "a2a" and x.shape[0] % self.n_devices:

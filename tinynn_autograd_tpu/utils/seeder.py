@@ -6,6 +6,8 @@ seeds numpy (host-side shuffling) and resets a global key from which
 initializers and dropout split fresh subkeys.
 """
 
+import contextlib
+
 import jax
 import numpy as np
 
@@ -33,3 +35,29 @@ def next_key():
         _state["key"] = jax.random.PRNGKey(int(np.random.randint(0, 2 ** 31)))
     _state["key"], sub = jax.random.split(_state["key"])
     return sub
+
+
+@contextlib.contextmanager
+def scope(seed):
+    """Temporarily replace the global key stream with a DEDICATED stream.
+
+    Draws inside the scope come from ``PRNGKey(seed)`` (or the given key)
+    and do NOT advance the global stream — so parameter initialization can
+    be pinned independently of global draw ORDER. This removes the
+    lazy-init footgun where two models built before either trains pull
+    different draws from the interleaved global stream::
+
+        with seeder.scope(7):
+            net = build_mnist_mlp(); net.init((128, 784))
+
+    Layers also accept ``seed=`` directly (Dense, Conv2D, DenseStack, MoE,
+    Embedding, PositionalEmbedding, TransformerBlock), which wraps their
+    own parameter draws in this scope.
+    """
+    prev = _state["key"]
+    _state["key"] = (jax.random.PRNGKey(seed)
+                     if isinstance(seed, (int, np.integer)) else seed)
+    try:
+        yield
+    finally:
+        _state["key"] = prev
