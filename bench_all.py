@@ -427,6 +427,15 @@ def main():
     # 6. transformer family (scanned tier) + same-run jax.grad floor oracle
     bench_transformer()
 
+    # 7. north-star time-to-accuracy (BASELINE.json): seconds/epochs to
+    # 97.5% test acc, post-compile, real MNIST when data/mnist.pkl.gz
+    # exists (synthetic pseudo-MNIST otherwise — labeled)
+    from bench import measure_time_to_accuracy
+
+    tta = measure_time_to_accuracy()
+    tta["metric"] = "mnist_mlp_time_to_975"
+    print(json.dumps(tta), flush=True)
+
 
 if __name__ == "__main__":
     main()

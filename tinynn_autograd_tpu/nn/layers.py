@@ -218,16 +218,25 @@ class TransformerBlock(Layer):
     generated by the tape's hand-written VJPs. ``causal=True`` adds the
     standard -inf upper-triangular mask before the softmax. No reference
     counterpart (the reference has no attention or sequence models).
+
+    ``attn``: "fused" (default) runs the attention core as the ONE
+    flash-style primitive ``ops.flash_attention_`` — a Pallas online-
+    softmax kernel on TPU (no [T, T] score tensors in HBM; exact-math XLA
+    fallback elsewhere, see ops/attention.py); "tape" keeps the explicit
+    4-primitive chain (same numerics — the cross-check path, and the one
+    the parallel wrappers mirror for their sharded attention).
     """
 
     def __init__(self, dim, num_heads, mlp_ratio=4, causal=False,
-                 w_init=None, eps=1e-5, seed=None):
+                 w_init=None, eps=1e-5, seed=None, attn="fused"):
         super().__init__("TransformerBlock")
         assert dim % num_heads == 0, (dim, num_heads)
+        assert attn in ("fused", "tape"), attn
         self.dim = dim
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
         self.causal = causal
+        self.attn = attn
         self.eps = eps
         init = w_init if w_init is not None else XavierUniformInit()
         hidden = int(dim * mlp_ratio)
@@ -274,12 +283,17 @@ class TransformerBlock(Layer):
         q = split_heads(xn @ p["wq"])
         k = split_heads(xn @ p["wk"])
         v = split_heads(xn @ p["wv"])
-        scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
-        mask = self._mask(t)
-        if mask is not None:
-            scores = scores + mask
-        attn = ops.softmax_(scores, axis=-1)
-        ctx = (attn @ v).transpose((0, 2, 1, 3)).reshape((b, t, d))
+        if self.attn == "fused":
+            ctx_h = ops.flash_attention_(q, k, v, causal=self.causal,
+                                         scale=1.0 / np.sqrt(hd))
+        else:
+            scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
+            mask = self._mask(t)
+            if mask is not None:
+                scores = scores + mask
+            attn = ops.softmax_(scores, axis=-1)
+            ctx_h = attn @ v
+        ctx = ctx_h.transpose((0, 2, 1, 3)).reshape((b, t, d))
         x = inputs + ctx @ p["wo"]
 
         yn = ops.layer_norm_(x, p["g2"], p["be2"], eps=self.eps)

@@ -230,11 +230,19 @@ class Adam(BaseOptimizer):
     def _step_leaf(self, g, lr, t, slots):
         m = slots["m"] + (1.0 - self._b1) * (g - slots["m"])
         v = slots["v"] + (1.0 - self._b2) * (g * g - slots["v"])
-        # Mosaic-friendly forms (no powf): b**t = exp(t*ln b), x**0.5 = sqrt
+        # Mosaic-friendly forms (no powf): b**t = exp(t*ln b), x**0.5 = sqrt.
+        # Bias corrections are folded into SCALARS:
+        #   -lr * m_hat / (sqrt(v_hat) + eps)
+        #     == -(lr/c1) * m / (sqrt(v) * rsqrt(c2) + eps)
+        # (identical within ~1 ulp of reassociation) — this trades the two
+        # per-ELEMENT divisions for one scalar division + one elementwise
+        # multiply, a measured component of the megakernel's per-step
+        # optimizer wall (BENCHMARKS.md).
         tf = t.astype(jnp.float32)
-        m_hat = m / (1.0 - jnp.exp(tf * jnp.log(self._b1)))
-        v_hat = v / (1.0 - jnp.exp(tf * jnp.log(self._b2)))
-        step = -lr * m_hat / (jnp.sqrt(v_hat) + self._eps)
+        c1 = 1.0 - jnp.exp(tf * jnp.log(self._b1))
+        c2 = 1.0 - jnp.exp(tf * jnp.log(self._b2))
+        step = (-(lr / c1)) * m / (jnp.sqrt(v) * jax.lax.rsqrt(c2)
+                                   + self._eps)
         return step, {"m": m, "v": v}
 
 
@@ -255,7 +263,10 @@ class RMSProp(BaseOptimizer):
 
     def _step_leaf(self, g, lr, t, slots):
         ms = slots["ms"] + (1.0 - self._decay) * (g * g - slots["ms"])
-        mom = self._momentum * slots["mom"] + lr * g / jnp.sqrt(ms + self._eps)
+        # g / sqrt(x) == g * rsqrt(x) within ~1 ulp; one VPU op instead of
+        # sqrt + divide (the megakernel's optimizer elementwise wall)
+        mom = (self._momentum * slots["mom"]
+               + lr * g * jax.lax.rsqrt(ms + self._eps))
         return -mom, {"ms": ms, "mom": mom}
 
 
@@ -272,7 +283,7 @@ class Adagrad(BaseOptimizer):
 
     def _step_leaf(self, g, lr, t, slots):
         G = slots["G"] + g * g
-        return -(lr / jnp.sqrt(G + self._eps)) * g, {"G": G}
+        return -lr * g * jax.lax.rsqrt(G + self._eps), {"G": G}
 
 
 class Adadelta(BaseOptimizer):
@@ -292,7 +303,7 @@ class Adadelta(BaseOptimizer):
     def _step_leaf(self, g, lr, t, slots):
         Eg = slots["Eg"] + (1.0 - self._decay) * (g * g - slots["Eg"])
         std = jnp.sqrt(slots["d"] + self._eps)
-        delta = g * std / jnp.sqrt(Eg + self._eps)
+        delta = g * std * jax.lax.rsqrt(Eg + self._eps)
         step = -lr * delta
         d = slots["d"] + (1.0 - self._decay) * (delta * delta - slots["d"])
         return step, {"Eg": Eg, "d": d}

@@ -19,6 +19,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     dot_,
     dropout_,
     exp_,
+    flash_attention_,
     flatten_,
     gather_axis_,
     gelu_,

@@ -767,6 +767,56 @@ def dropout_(ts, rate, rng):
     return build_unary_ops_tensor(ts, grad_fn, values)
 
 
+def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None):
+    """Fused multi-head attention as ONE tape primitive:
+    out = softmax(Q K^T * scale [+ causal mask]) V, Q/K/V: [B, H, T, d].
+
+    Forward and the hand-written VJPs run as flash-style Pallas kernels on
+    TPU (online softmax, O(T) memory — see ops/attention.py) with an
+    exact-math XLA fallback off-TPU. The three grad_fns share one memoized
+    joint backward (the recompute scheme needs Q, K, V, O and the saved
+    row logsumexp once per cotangent). Replaces the 4-primitive tape chain
+    (dot_/softmax_/dot_) in TransformerBlock — same numerics, no [T, T]
+    HBM score tensors. No jax.grad anywhere.
+    """
+    from tinynn_autograd_tpu.ops import attention
+
+    q, k, v = ts_q.data, ts_k.data, ts_v.data
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    o, lse = attention.mha_fwd(q, k, v, causal=causal, scale=scale,
+                               impl=impl)
+
+    cache = []  # [grad_object, (dq, dk, dv)] — strong ref + identity compare
+
+    def memo(grad):
+        if not cache or cache[0] is not grad:
+            cache[:] = [grad, attention.mha_bwd(
+                q, k, v, o, lse, grad, causal=causal, scale=scale,
+                impl=impl)]
+        return cache[1]
+
+    def gq(grad):
+        return memo(grad)[0]
+
+    def gk(grad):
+        return memo(grad)[1]
+
+    def gv(grad):
+        return memo(grad)[2]
+
+    requires_grad = (ts_q.requires_grad or ts_k.requires_grad
+                     or ts_v.requires_grad)
+    dependency = []
+    if ts_q.requires_grad:
+        dependency.append((ts_q, gq))
+    if ts_k.requires_grad:
+        dependency.append((ts_k, gk))
+    if ts_v.requires_grad:
+        dependency.append((ts_v, gv))
+    return ts_q.__class__(o, requires_grad, dependency)
+
+
 def concat_(tensors, axis=0):
     """Concatenate along ``axis``; VJP slices the gradient back per input."""
     tensors = [as_tensor(t) for t in tensors]
