@@ -294,6 +294,41 @@ def bench_transformer():
     emit("transformer_cls_jaxgrad_oracle_steps_per_sec", oracle_rates)
 
 
+def bench_transformer_long():
+    """Config 6b: LONG-context transformer classifier (seq 2048, head_dim
+    64) — the regime where the flash-attention Pallas kernels engage
+    (auto-dispatch crossover T>=1024; ops/attention.py): the oracle's XLA
+    attention materializes [T, T] scores through HBM, the framework's
+    fused path keeps them in VMEM tiles. Same-run jax.grad oracle of the
+    identical model, same methodology as config 6."""
+    from tinynn_autograd_tpu.models import build_tiny_transformer
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn import optimizer as opt
+    from tinynn_autograd_tpu.utils.datasets import one_hot
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    vocab, seq, dim, heads, depth, nout = 256, 2048, 512, 8, 2, 16
+    batch, n_epochs, n_train = 4, 4, 256
+    rng = np.random.RandomState(0)
+    tx = rng.randint(0, vocab, (n_train, seq))
+    ty = one_hot(rng.randint(0, nout, n_train), nout)
+
+    random_seed(0)
+    net = build_tiny_transformer(vocab=vocab, seq_len=seq, dim=dim,
+                                 heads=heads, depth=depth, num_out=nout)
+    m = Model(net, SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
+    x_dev, y_dev = m.stage(tx, ty)
+    rates = _time_epochs(m, x_dev, y_dev, batch, n_epochs, n_train // batch)
+
+    oracle_rates = _transformer_oracle_rates(net, tx, ty, batch, n_epochs,
+                                             lr=1e-3)
+    floor_us = 1e6 / statistics.median(oracle_rates)
+    emit("transformer_seq2048_train_steps_per_sec", rates,
+         floor_us=round(floor_us, 1))
+    emit("transformer_seq2048_jaxgrad_oracle_steps_per_sec", oracle_rates)
+
+
 def main():
     from tinynn_autograd_tpu.models import (
         build_deep_mlp, build_mnist_cnn, build_mnist_mlp,
@@ -426,6 +461,9 @@ def main():
 
     # 6. transformer family (scanned tier) + same-run jax.grad floor oracle
     bench_transformer()
+
+    # 6b. long-context transformer (flash-attention regime)
+    bench_transformer_long()
 
     # 7. north-star time-to-accuracy (BASELINE.json): seconds/epochs to
     # 97.5% test acc, post-compile, real MNIST when data/mnist.pkl.gz

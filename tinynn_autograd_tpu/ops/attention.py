@@ -21,14 +21,22 @@ is a tape primitive like everything else, see ops.primitives.flash_attention_):
     dK_j  = sum_i ds_ij Q_i
 
 run as two kernels (dQ gridded over query blocks, dK/dV over key blocks) so
-each output is written exactly once — no cross-grid-step races.
+each output is written exactly once — no cross-grid-step races. The dK/dV
+kernel works in the TRANSPOSED tile layout (s^T, p^T with keys on sublanes)
+so that every matmul keeps the MXU-native operand order.
+
+Layout rules (v5e, measured): Mosaic inserts lane<->sublane relayouts for
+any dot whose lhs does not contract its MINOR dim or whose rhs does not
+contract its MAJOR dim — a first cut that contracted K/V on their minor
+axes ran 1.4x SLOWER than XLA. Every dot below is in native form; the
+operands that need transposing (K^T, V^T, Q^T, dO^T) are produced ONCE per
+call at the XLA level (fused copies, ~us) and streamed to the kernels.
 
 Grid layout: heads are BATCHED per grid step (G heads of one [bq, bk] tile
-at a time) because the per-grid-step pipeline cost (~1 us of DMA issue) would
-dominate a one-head-per-step layout at short sequence lengths; G is sized to
-a VMEM budget. All matmuls accumulate in f32 on the MXU. With bf16 inputs
-the MXU runs its fast path (accumulation stays f32) — the standard TPU
-mixed-precision recipe, opt-in via TransformerBlock(attn_precision="bf16").
+at a time) because the per-grid-step pipeline cost (~1 us of DMA issue)
+would dominate a one-head-per-step layout at short sequence lengths; G is
+sized to the ~16 MB/core VMEM budget (G=32 at t=128 provably OOMs it).
+All matmuls accumulate in f32 on the MXU.
 
 Dispatch: Pallas on TPU (or interpret mode for CPU tests), with a pure-XLA
 fallback implementing the identical math (including the saved logsumexp) for
@@ -50,52 +58,49 @@ from tinynn_autograd_tpu.ops import kernels
 _NEG_INF = -1e30
 # VMEM working-set target used to pick how many heads share one grid step
 _HEAD_BATCH_BUDGET = int(os.environ.get(
-    "TINYNN_TPU_ATTN_HEAD_BUDGET", str(3 * 1024 * 1024)))
+    "TINYNN_TPU_ATTN_HEAD_BUDGET", str(6 * 1024 * 1024)))
 _BLOCK = int(os.environ.get("TINYNN_TPU_ATTN_BLOCK", "128"))
+_FORCE_G = os.environ.get("TINYNN_TPU_ATTN_G")
 
 
-def _pick_head_batch(bh, bq, bk, d, n_bufs=6):
-    """Heads per grid step: largest divisor of BH whose per-step blocks
-    (q/k/v/o + the [bq,bk] score tile, double-buffered) fit the budget."""
-    per_head = (4 * max(bq, bk) * max(d, 128) + bq * max(bk, 128)) * 4 * 2
-    g = max(1, _HEAD_BATCH_BUDGET // (per_head * n_bufs // 4))
+def _pick_head_batch(bh, bq, bk, d, n_streams=6):
+    """Heads per grid step: largest divisor of BH whose per-step working
+    set (n_streams [t,d]-ish blocks lane-padded to 128 plus two [bq,bk]
+    score tiles, x2 for pipeline double-buffering) fits the budget."""
+    if _FORCE_G:
+        g = min(int(_FORCE_G), bh)
+        while bh % g:
+            g -= 1
+        return g
+    per_head = (n_streams * max(bq, bk) * max(d, 128)
+                + 2 * bq * max(bk, 128)) * 4 * 2
+    g = max(1, _HEAD_BATCH_BUDGET // per_head)
     g = min(g, bh)
     while bh % g:
         g -= 1
     return g
 
 
-def _causal_mask(i, j, g, bq, bk):
-    """[G, bq, bk] boolean: query row (global) >= key col (global)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (g, bq, bk), 1) + i * bq
-    cols = jax.lax.broadcasted_iota(jnp.int32, (g, bq, bk), 2) + j * bk
-    return rows >= cols
+def _causal_mask(rows0, cols0, g, nrow, ncol):
+    """[G, nrow, ncol] boolean: query index >= key index, where queries sit
+    on dim ``1`` offset rows0 ... or on dim 2 — callers pass which offset
+    belongs to rows/cols."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, nrow, ncol), 1) + rows0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, nrow, ncol), 2) + cols0
+    return rows, cols
 
 
-def _sdot(a, b):
-    """[G, m, d] x [G, n, d] -> [G, m, n] (contract d, batch G)."""
+def _bdot(a, b):
+    """Native batched matmul: [G, m, c] x [G, c, n] -> [G, m, n]
+    (lhs contracts its minor dim, rhs its major dim — no relayouts)."""
     return jax.lax.dot_general(
-        a, b, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-
-
-def _pdot(p, v):
-    """[G, m, n] x [G, n, d] -> [G, m, d] (contract n, batch G)."""
-    return jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-
-
-def _tdot(p, x):
-    """[G, m, n] x [G, m, d] -> [G, n, d] (contract m, batch G)."""
-    return jax.lax.dot_general(
-        p, x, (((1,), (1,)), ((0,), (0,))),
+        a, b, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
 
 # --------------------------------------------------------------- forward
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
+def _fwd_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
                 *, scale, causal, bq, bk, g):
     i, j = pl.program_id(1), pl.program_id(2)
 
@@ -108,15 +113,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
     @pl.when(jnp.logical_or(not causal, j * bk <= i * bq + bq - 1))
     def _tile():
         q = q_ref[...]
-        s = _sdot(q, k_ref[...]) * scale               # [G, bq, bk] f32
+        s = _bdot(q, kt_ref[...]) * scale              # [G, bq, bk] f32
         if causal:
-            s = jnp.where(_causal_mask(i, j, g, bq, bk), s, _NEG_INF)
+            rows, cols = _causal_mask(i * bq, j * bk, g, bq, bk)
+            s = jnp.where(rows >= cols, s, _NEG_INF)
         m_old = m_scr[...]                             # [G, bq, 1]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m_old - m_new)
         p = jnp.exp(s - m_new)
         l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
-        acc[...] = acc[...] * alpha + _pdot(p.astype(q.dtype), v_ref[...])
+        acc[...] = acc[...] * alpha + _bdot(p.astype(q.dtype), v_ref[...])
         m_scr[...] = m_new
 
     @pl.when(j == pl.num_programs(2) - 1)
@@ -126,15 +132,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
         lse_ref[...] = m_scr[...] + jnp.log(l)
 
 
-def _fwd_pallas(q, k, v, scale, causal, interpret):
+def _fwd_pallas(q, kt, v, scale, causal, interpret):
     bh, t, d = q.shape
     bq = bk = min(_BLOCK, t)
-    g = _pick_head_batch(bh, bq, bk, d)
+    g = _pick_head_batch(bh, bq, bk, d, n_streams=5)
     nq, nk = t // bq, t // bk
-
-    def head_spec(blk):
-        return pl.BlockSpec((g, blk, d), lambda b, i, j, _n=None: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
 
     kern = functools.partial(_fwd_kernel, scale=scale, causal=causal,
                              bq=bq, bk=bk, g=g)
@@ -144,7 +146,7 @@ def _fwd_pallas(q, k, v, scale, causal, interpret):
         in_specs=[
             pl.BlockSpec((g, bq, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bk, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((g, d, bk), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, bk, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
@@ -173,14 +175,14 @@ def _fwd_pallas(q, k, v, scale, causal, interpret):
             transcendentals=bh * t * t,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q, kt, v)
     return o, lse
 
 
 # -------------------------------------------------------------- backward
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dq_acc, *, scale, causal, bq, bk, g):
+def _dq_kernel(q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_acc, *, scale, causal, bq, bk, g):
     i, j = pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
@@ -190,22 +192,26 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     @pl.when(jnp.logical_or(not causal, j * bk <= i * bq + bq - 1))
     def _tile():
         q = q_ref[...]
-        k = k_ref[...]
-        s = _sdot(q, k) * scale
+        s = _bdot(q, kt_ref[...]) * scale              # [G, bq, bk]
         if causal:
-            s = jnp.where(_causal_mask(i, j, g, bq, bk), s, _NEG_INF)
-        p = jnp.exp(s - lse_ref[...])                  # [G, bq, bk]
-        dp = _sdot(do_ref[...], v_ref[...])            # [G, bq, bk]
+            rows, cols = _causal_mask(i * bq, j * bk, g, bq, bk)
+            s = jnp.where(rows >= cols, s, _NEG_INF)
+        p = jnp.exp(s - lse_ref[...])
+        dp = _bdot(do_ref[...], vt_ref[...])           # [G, bq, bk]
         ds = (p * (dp - delta_ref[...]) * scale).astype(q.dtype)
-        dq_acc[...] += _pdot(ds, k)
+        dq_acc[...] += _bdot(ds, k_ref[...])           # [G, bq, d]
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _finish():
         dq_ref[...] = dq_acc[...].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal, bq, bk, g):
+def _dkv_kernel(k_ref, qt_ref, q_ref, dot_ref, do_ref, v_ref, lse_r_ref,
+                delta_r_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                *, scale, causal, bq, bk, g):
+    """Transposed-tile layout: keys on sublanes, queries on lanes —
+    s^T = K Q^T, p^T = exp(s^T - L_row); then
+    dV = p^T dO and dK = ds^T Q are BOTH native-form matmuls."""
     j, i = pl.program_id(1), pl.program_id(2)
 
     @pl.when(i == 0)
@@ -215,17 +221,17 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(jnp.logical_or(not causal, i * bq + bq - 1 >= j * bk))
     def _tile():
-        q = q_ref[...]
         k = k_ref[...]
-        do = do_ref[...]
-        s = _sdot(q, k) * scale
+        st = _bdot(k, qt_ref[...]) * scale             # [G, bk, bq]
         if causal:
-            s = jnp.where(_causal_mask(i, j, g, bq, bk), s, _NEG_INF)
-        p = jnp.exp(s - lse_ref[...])                  # [G, bq, bk]
-        dv_acc[...] += _tdot(p.astype(q.dtype), do)
-        dp = _sdot(do, v_ref[...])
-        ds = (p * (dp - delta_ref[...]) * scale).astype(q.dtype)
-        dk_acc[...] += _tdot(ds, q)
+            rows, cols = _causal_mask(j * bk, i * bq, g, bk, bq)
+            # rows are KEY indices, cols are QUERY indices: valid q >= k
+            st = jnp.where(cols >= rows, st, _NEG_INF)
+        pt = jnp.exp(st - lse_r_ref[...])              # [G, bk, bq]
+        dv_acc[...] += _bdot(pt.astype(k.dtype), do_ref[...])
+        dpt = _bdot(v_ref[...], dot_ref[...])          # [G, bk, bq]
+        dst = (pt * (dpt - delta_r_ref[...]) * scale).astype(k.dtype)
+        dk_acc[...] += _bdot(dst, q_ref[...])          # [G, bk, d]
 
     @pl.when(i == pl.num_programs(2) - 1)
     def _finish():
@@ -233,35 +239,37 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd_pallas(q, k, v, do, lse, delta, scale, causal, interpret):
+def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
+                scale, causal, interpret):
     bh, t, d = q.shape
     bq = bk = min(_BLOCK, t)
-    g = _pick_head_batch(bh, bq, bk, d, n_bufs=8)
+    g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
     nq, nk = t // bq, t // bk
 
-    def qspec(blk, which):
-        # which='q': block follows grid axis 1; 'k': grid axis 2
-        if which == "q":
-            return pl.BlockSpec((g, blk, d), lambda b, i, j: (b, i, 0),
+    def blk(shape, which):
+        # which: grid axis the block index follows ('i' or 'j' or none)
+        if which == "i":
+            return pl.BlockSpec(shape, lambda b, i, j: (b, i, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((g, blk, d), lambda b, i, j: (b, j, 0),
-                            memory_space=pltpu.VMEM)
-
-    def rspec(which):
-        if which == "q":
-            return pl.BlockSpec((g, bq, 1), lambda b, i, j: (b, i, 0),
+        if which == "j":
+            return pl.BlockSpec(shape, lambda b, i, j: (b, j, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((g, bq, 1), lambda b, i, j: (b, j, 0),
+        if which == "ti":   # transposed array, block over its LANE axis
+            return pl.BlockSpec(shape, lambda b, i, j: (b, 0, i),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda b, i, j: (b, 0, j),
                             memory_space=pltpu.VMEM)
 
     params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **params),
         grid=(bh // g, nq, nk),
-        in_specs=[qspec(bq, "q"), qspec(bk, "k"), qspec(bk, "k"),
-                  qspec(bq, "q"), rspec("q"), rspec("q")],
+        in_specs=[blk((g, bq, d), "i"), blk((g, d, bk), "tj"),
+                  blk((g, bk, d), "j"), blk((g, d, bk), "tj"),
+                  blk((g, bq, d), "i"), blk((g, bq, 1), "i"),
+                  blk((g, bq, 1), "i")],
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-        out_specs=qspec(bq, "q"),
+        out_specs=blk((g, bq, d), "i"),
         scratch_shapes=[pltpu.VMEM((g, bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -269,33 +277,36 @@ def _bwd_pallas(q, k, v, do, lse, delta, scale, causal, interpret):
             flops=6 * bh * t * t * d, bytes_accessed=6 * bh * t * d * 4,
             transcendentals=bh * t * t),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, kt, k, vt, do, lse, delta)
+
+    # dkv grid: (BH/G, nk, nq) — axis 1 is the KEY block (named j in the
+    # kernel), axis 2 the QUERY block (named i), innermost/sequential
+    def blk2(shape, which):
+        if which == "j":
+            return pl.BlockSpec(shape, lambda b, j, i: (b, j, 0),
+                                memory_space=pltpu.VMEM)
+        if which == "i":
+            return pl.BlockSpec(shape, lambda b, j, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda b, j, i: (b, 0, i),
+                            memory_space=pltpu.VMEM)  # "ti": lane axis = i
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, **params),
         grid=(bh // g, nk, nq),
         in_specs=[
-            pl.BlockSpec((g, bk, d), lambda b, j, i: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bk, d), lambda b, j, i: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bq, d), lambda b, j, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bq, d), lambda b, j, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bq, 1), lambda b, j, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bq, 1), lambda b, j, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
+            blk2((g, bk, d), "j"),     # k
+            blk2((g, d, bq), "ti"),    # qt
+            blk2((g, bq, d), "i"),     # q
+            blk2((g, d, bq), "ti"),    # doT
+            blk2((g, bq, d), "i"),     # do
+            blk2((g, bk, d), "j"),     # v
+            blk2((g, 1, bq), "ti"),    # lse_row [BH, 1, T]
+            blk2((g, 1, bq), "ti"),    # delta_row [BH, 1, T]
         ],
         out_shape=[jax.ShapeDtypeStruct((bh, t, d), q.dtype),
                    jax.ShapeDtypeStruct((bh, t, d), q.dtype)],
-        out_specs=[
-            pl.BlockSpec((g, bk, d), lambda b, j, i: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bk, d), lambda b, j, i: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[blk2((g, bk, d), "j"), blk2((g, bk, d), "j")],
         scratch_shapes=[pltpu.VMEM((g, bk, d), jnp.float32),
                         pltpu.VMEM((g, bk, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -304,7 +315,7 @@ def _bwd_pallas(q, k, v, do, lse, delta, scale, causal, interpret):
             flops=6 * bh * t * t * d, bytes_accessed=6 * bh * t * d * 4,
             transcendentals=bh * t * t),
         interpret=interpret,
-    )(k, v, q, do, lse, delta)
+    )(k, qt, q, dot_, do, v, lse_r, delta_r)
     return dq, dk, dv
 
 
@@ -350,15 +361,23 @@ def _bwd_xla(q, k, v, do, lse, delta, scale, causal):
 
 # ---------------------------------------------------------------- dispatch
 
+# Measured crossover (v5e, causal d=64, honest 5000-iter dispatches): XLA's
+# fused attention wins while [T, T] scores fit its VMEM working set (t=512:
+# 73 vs 228 us fwd); the flash kernels win once XLA must round-trip scores
+# through HBM — t=1024: fwd 740 vs 1253 us (1.7x), t=4096: fwd 2805 vs
+# 4864, fwd+bwd 9400 vs 10398. Auto-dispatch routes accordingly.
+_PALLAS_MIN_T = int(os.environ.get("TINYNN_TPU_ATTN_MIN_T", "1024"))
+
+
 def _resolve_impl(impl, t):
     if impl is None:
         impl = os.environ.get("TINYNN_TPU_ATTN_IMPL")
     if impl in ("pallas", "pallas_interpret", "xla"):
         return impl
-    # auto: Pallas on TPU for block-divisible sequence lengths
+    # auto: Pallas on TPU above the measured crossover, block-divisible
     if (kernels._default_backend() == "tpu"
             and not os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
-            and (t % _BLOCK == 0 or t <= _BLOCK) and t % 8 == 0):
+            and t >= _PALLAS_MIN_T and t % _BLOCK == 0):
         return "pallas"
     return "xla"
 
@@ -380,7 +399,7 @@ def mha_fwd(q, k, v, causal=False, scale=None, impl=None):
     if impl == "xla":
         o, lse = _fwd_xla(qf, kf, vf, scale, causal)
     else:
-        o, lse = _fwd_pallas(qf, kf, vf, scale, causal,
+        o, lse = _fwd_pallas(qf, jnp.swapaxes(kf, 1, 2), vf, scale, causal,
                              interpret=(impl == "pallas_interpret"))
     return o.reshape(b, h, t, d), lse.reshape(b, h, t, 1)
 
@@ -400,7 +419,14 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None):
     if impl == "xla":
         dq, dk, dv = _bwd_xla(qf, kf, vf, dof, lsef, delta, scale, causal)
     else:
-        dq, dk, dv = _bwd_pallas(qf, kf, vf, dof, lsef, delta, scale,
-                                 causal, interpret=(impl == "pallas_interpret"))
+        kt = jnp.swapaxes(kf, 1, 2)
+        vt = jnp.swapaxes(vf, 1, 2)
+        qt = jnp.swapaxes(qf, 1, 2)
+        dot_ = jnp.swapaxes(dof, 1, 2)
+        lse_r = jnp.swapaxes(lsef, 1, 2)       # [BH, 1, T]
+        delta_r = jnp.swapaxes(delta, 1, 2)    # [BH, 1, T]
+        dq, dk, dv = _bwd_pallas(
+            qf, kt, kf, vt, vf, qt, dot_, dof, lsef, lse_r, delta, delta_r,
+            scale, causal, interpret=(impl == "pallas_interpret"))
     return (dq.reshape(b, h, t, d), dk.reshape(b, h, t, d),
             dv.reshape(b, h, t, d))
