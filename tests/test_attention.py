@@ -183,3 +183,62 @@ def test_head_batch_is_divisor():
     for bh in (1, 2, 6, 8, 256):
         g = attention._pick_head_batch(bh, 128, 128, 64)
         assert bh % g == 0 and 1 <= g <= bh
+
+
+def test_cross_attention_tq_ne_tk():
+    """Cross-attention (decoder queries over encoder keys): Tq != Tk must
+    match the f64 oracle in value and pass the tape gradient contract."""
+    b, h, tq, tk, d = 2, 2, 8, 20, 4
+    rng = np.random.RandomState(11)
+    q = rng.randn(b, h, tq, d).astype(np.float32)
+    k = rng.randn(b, h, tk, d).astype(np.float32)
+    v = rng.randn(b, h, tk, d).astype(np.float32)
+    do = rng.randn(b, h, tq, d).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    o, _ = attention.mha_fwd(jnp.asarray(q), jnp.asarray(k),
+                             jnp.asarray(v), scale=scale, impl="xla")
+    np.testing.assert_allclose(np.asarray(o),
+                               _naive(q, k, v, False, scale),
+                               rtol=1e-5, atol=1e-6)
+
+    # grads vs the explicit tape composition
+    qt, kt, vt = (Tensor(x, requires_grad=True) for x in (q, k, v))
+    out = ops.flash_attention_(qt, kt, vt, scale=scale)
+    out.backward(Tensor(do))
+    q2, k2, v2 = (Tensor(x, requires_grad=True) for x in (q, k, v))
+    out2 = ops.softmax_((q2 @ k2.transpose((0, 1, 3, 2))) * scale,
+                        axis=-1) @ v2
+    out2.backward(Tensor(do))
+    assert qt.grad.shape == (b, h, tq, d)
+    assert kt.grad.shape == (b, h, tk, d)
+    for a, bb, name in [(qt, q2, "dq"), (kt, k2, "dk"), (vt, v2, "dv")]:
+        np.testing.assert_allclose(np.asarray(a.grad), np.asarray(bb.grad),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_cross_attention_pallas_interpret():
+    """The kernels themselves handle Tq != Tk (separate bq/bk grids)."""
+    b, h, tq, tk, d = 1, 2, 128, 256, 8
+    rng = np.random.RandomState(12)
+    q = jnp.asarray(rng.randn(b, h, tq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, tk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, tk, d).astype(np.float32))
+    do = jnp.asarray(rng.randn(b, h, tq, d).astype(np.float32))
+    o_x, lse_x = attention.mha_fwd(q, k, v, impl="xla")
+    o_p, lse_p = attention.mha_fwd(q, k, v, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=1e-5, atol=1e-6)
+    ref = attention.mha_bwd(q, k, v, o_x, lse_x, do, impl="xla")
+    got = attention.mha_bwd(q, k, v, o_x, lse_x, do,
+                            impl="pallas_interpret")
+    for gg, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_causal_cross_attention_rejected():
+    q = jnp.zeros((1, 1, 8, 4))
+    k = jnp.zeros((1, 1, 16, 4))
+    with pytest.raises(ValueError, match="Tq == Tk"):
+        attention.mha_fwd(q, k, k, causal=True)

@@ -144,6 +144,27 @@ def test_dp_megakernel_parity_adam():
     _run_parity(Adam(lr=1e-2), Adam(lr=1e-2))
 
 
+def test_dp_megakernel_with_dropout_trains():
+    """Smoke: the DP megakernel's dropout path (counter-hash stand-in under
+    the distributed interpreter; per-device seeds folded with axis index)
+    produces finite, decreasing losses."""
+    from tinynn_autograd_tpu.nn.layers import Dropout
+
+    n_dev, local_batch, n_steps = 4, 4, 2
+    n = n_dev * local_batch * n_steps
+    x, y = _data(n)
+    random_seed(5)
+    net = Net([Dense(16, num_in=8), ReLU(), Dropout(0.25),
+               Dense(4, num_in=16)])
+    dp = DataParallel(Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.2)),
+                      mesh=make_mesh(n_dev))
+    losses = np.asarray(dp.train_epochs(
+        x, y, n_epochs=6, batch_size=n_dev * local_batch, shuffle=False,
+        fused=True))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1].mean() < losses[0].mean()
+
+
 def test_dp_megakernel_rejects_ineligible():
     """fused=True on a model the megakernel can't run must raise, not
     silently fall back."""

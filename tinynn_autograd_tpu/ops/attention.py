@@ -133,10 +133,11 @@ def _fwd_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
 
 
 def _fwd_pallas(q, kt, v, scale, causal, interpret):
-    bh, t, d = q.shape
-    bq = bk = min(_BLOCK, t)
+    bh, tq, d = q.shape
+    tk = v.shape[1]
+    bq, bk = min(_BLOCK, tq), min(_BLOCK, tk)
     g = _pick_head_batch(bh, bq, bk, d, n_streams=5)
-    nq, nk = t // bq, t // bk
+    nq, nk = tq // bq, tk // bk
 
     kern = functools.partial(_fwd_kernel, scale=scale, causal=causal,
                              bq=bq, bk=bk, g=g)
@@ -152,8 +153,8 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32),
         ],
         out_specs=[
             pl.BlockSpec((g, bq, d), lambda b, i, j: (b, i, 0),
@@ -170,9 +171,9 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * t * t * d,
-            bytes_accessed=4 * bh * t * d * 4,
-            transcendentals=bh * t * t,
+            flops=4 * bh * tq * tk * d,
+            bytes_accessed=4 * bh * (tq + tk) * d * 4,
+            transcendentals=bh * tq * tk,
         ),
         interpret=interpret,
     )(q, kt, v)
@@ -241,10 +242,11 @@ def _dkv_kernel(k_ref, qt_ref, q_ref, dot_ref, do_ref, v_ref, lse_r_ref,
 
 def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
                 scale, causal, interpret):
-    bh, t, d = q.shape
-    bq = bk = min(_BLOCK, t)
+    bh, tq, d = q.shape
+    tk = v.shape[1]
+    bq, bk = min(_BLOCK, tq), min(_BLOCK, tk)
     g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
-    nq, nk = t // bq, t // bk
+    nq, nk = tq // bq, tk // bk
 
     def blk(shape, which):
         # which: grid axis the block index follows ('i' or 'j' or none)
@@ -268,14 +270,15 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
                   blk((g, bk, d), "j"), blk((g, d, bk), "tj"),
                   blk((g, bq, d), "i"), blk((g, bq, 1), "i"),
                   blk((g, bq, 1), "i")],
-        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
         out_specs=blk((g, bq, d), "i"),
         scratch_shapes=[pltpu.VMEM((g, bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=6 * bh * t * t * d, bytes_accessed=6 * bh * t * d * 4,
-            transcendentals=bh * t * t),
+            flops=6 * bh * tq * tk * d,
+            bytes_accessed=6 * bh * (tq + tk) * d * 4,
+            transcendentals=bh * tq * tk),
         interpret=interpret,
     )(q, kt, k, vt, do, lse, delta)
 
@@ -304,16 +307,17 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
             blk2((g, 1, bq), "ti"),    # lse_row [BH, 1, T]
             blk2((g, 1, bq), "ti"),    # delta_row [BH, 1, T]
         ],
-        out_shape=[jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-                   jax.ShapeDtypeStruct((bh, t, d), q.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, tk, d), q.dtype)],
         out_specs=[blk2((g, bk, d), "j"), blk2((g, bk, d), "j")],
         scratch_shapes=[pltpu.VMEM((g, bk, d), jnp.float32),
                         pltpu.VMEM((g, bk, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=6 * bh * t * t * d, bytes_accessed=6 * bh * t * d * 4,
-            transcendentals=bh * t * t),
+            flops=6 * bh * tq * tk * d,
+            bytes_accessed=6 * bh * (tq + tk) * d * 4,
+            transcendentals=bh * tq * tk),
         interpret=interpret,
     )(k, qt, q, dot_, do, v, lse_r, delta_r)
     return dq, dk, dv
@@ -388,13 +392,21 @@ def _fold(x):
 
 
 def mha_fwd(q, k, v, causal=False, scale=None, impl=None):
-    """softmax(Q K^T * scale [+ causal mask]) V over [B, H, T, d] operands.
-    Returns (o [B,H,T,d], lse [B,H,T,1] f32) — lse is the per-row
-    logsumexp of the scaled scores, consumed by mha_bwd."""
+    """softmax(Q K^T * scale [+ causal mask]) V. Q: [B, H, Tq, d];
+    K/V: [B, H, Tk, d] (cross-attention allowed; ``causal`` requires
+    Tq == Tk). Returns (o [B,H,Tq,d], lse [B,H,Tq,1] f32) — lse is the
+    per-row logsumexp of the scaled scores, consumed by mha_bwd."""
     b, h, t, d = q.shape
+    tk = k.shape[2]
+    if causal and tk != t:
+        raise ValueError("causal attention requires Tq == Tk, got %d vs %d"
+                         % (t, tk))
     if scale is None:
         scale = 1.0 / np.sqrt(d)
-    impl = _resolve_impl(impl, t)
+    impl = _resolve_impl(impl, max(t, tk))
+    if impl == "pallas" and (t % _BLOCK and t > _BLOCK
+                             or tk % _BLOCK and tk > _BLOCK):
+        impl = "xla"  # auto never picks this; explicit impl gets safety
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     if impl == "xla":
         o, lse = _fwd_xla(qf, kf, vf, scale, causal)
@@ -408,9 +420,13 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None):
     """Hand-written VJP of mha_fwd (recompute scheme; see module docstring).
     Returns (dq, dk, dv) in the operands' shapes."""
     b, h, t, d = q.shape
+    tk = k.shape[2]
     if scale is None:
         scale = 1.0 / np.sqrt(d)
-    impl = _resolve_impl(impl, t)
+    impl = _resolve_impl(impl, max(t, tk))
+    if impl == "pallas" and (t % _BLOCK and t > _BLOCK
+                             or tk % _BLOCK and tk > _BLOCK):
+        impl = "xla"
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     of, dof = _fold(o), _fold(do)
     lsef = lse.reshape(b * h, t, 1)
@@ -428,5 +444,5 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None):
         dq, dk, dv = _bwd_pallas(
             qf, kt, kf, vt, vf, qt, dot_, dof, lsef, lse_r, delta, delta_r,
             scale, causal, interpret=(impl == "pallas_interpret"))
-    return (dq.reshape(b, h, t, d), dk.reshape(b, h, t, d),
-            dv.reshape(b, h, t, d))
+    return (dq.reshape(b, h, t, d), dk.reshape(b, h, tk, d),
+            dv.reshape(b, h, tk, d))
