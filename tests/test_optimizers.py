@@ -212,6 +212,44 @@ def test_stochastic_rounding_fixes_bf16_ema_stall():
         float(np.asarray(v_sr, np.float32).mean()), true_v, rtol=0.02)
 
 
+def test_clip_norm_matches_torch_semantics():
+    """Global-norm clipping: grads jointly scaled by
+    min(1, clip/(||g||+1e-6)) BEFORE the update rule."""
+    opt = SGD(lr=1.0, clip_norm=1.0)
+    params = [{"w": Tensor(np.zeros(2, np.float32)),
+               "b": Tensor(np.zeros(2, np.float32))}]
+    grads = [{"w": np.array([3.0, 0.0], np.float32),
+              "b": np.array([0.0, 4.0], np.float32)}]
+    steps = opt.compute_step(grads, params)
+    # ||g|| = 5 -> scale 1/5: step = -lr * g/5
+    np.testing.assert_allclose(np.asarray(steps[0]["w"]), [-0.6, 0.0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(steps[0]["b"]), [0.0, -0.8],
+                               rtol=1e-5)
+
+
+def test_clip_norm_noop_below_threshold():
+    opt = SGD(lr=1.0, clip_norm=100.0)
+    params = [{"w": Tensor(np.zeros(2, np.float32))}]
+    grads = [{"w": np.array([3.0, 4.0], np.float32)}]
+    steps = opt.compute_step(grads, params)
+    np.testing.assert_allclose(np.asarray(steps[0]["w"]), [-3.0, -4.0],
+                               rtol=1e-4)
+
+
+def test_clip_norm_declined_by_streaming_tier():
+    from tinynn_autograd_tpu.models import build_deep_mlp
+    from tinynn_autograd_tpu.ops import streaming_epoch
+
+    net = build_deep_mlp(num_in=128, depth=4, width=128, num_out=4,
+                         stacked=True)
+    net.init((8, 128))
+    params = net.params_tree()
+    assert streaming_epoch.supports(net, params, Adam(1e-3))
+    assert not streaming_epoch.supports(net, params,
+                                        Adam(1e-3, clip_norm=1.0))
+
+
 def test_adam_bf16_sr_converges_with_fused_step():
     import jax.numpy as jnp
 

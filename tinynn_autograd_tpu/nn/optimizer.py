@@ -20,6 +20,8 @@ reference declares but leaves commented out, reference: core/optimizer.py:29-30)
 on-device step counter.
 """
 
+import builtins
+
 import jax
 import jax.numpy as jnp
 
@@ -39,7 +41,7 @@ class BaseOptimizer:
     slot_names = ()
 
     def __init__(self, lr, weight_decay=0.0, slot_dtype=None,
-                 stochastic_rounding=False):
+                 stochastic_rounding=False, clip_norm=None):
         """``slot_dtype``: storage dtype for the per-parameter state slots
         (e.g. ``jnp.bfloat16`` to halve optimizer-state memory AND the HBM
         slot traffic that bounds Adam on the weight-streaming path — see
@@ -54,9 +56,19 @@ class BaseOptimizer:
         bits below the mantissa cutoff decide the rounding direction
         (ops.primitives.stochastic_round_cast, seeded from the on-device
         step counter + a per-leaf salt), so E[stored] == exact — the
-        standard recipe for sound bf16 optimizer state."""
+        standard recipe for sound bf16 optimizer state.
+
+        ``clip_norm``: global-norm gradient clipping (torch semantics:
+        grads scaled by min(1, clip_norm / (||g||_2 + 1e-6)) over ALL
+        leaves jointly) applied inside ``update`` before the rule — so it
+        takes effect in every tier that routes through update (eager
+        facade, fused step, scanned epoch, megakernel). The streaming
+        kernels apply per-leaf updates in-kernel and cannot see the
+        global norm, so they decline clip_norm optimizers (the Model
+        falls back to the scanned tier)."""
         self.lr = lr
         self.weight_decay = weight_decay
+        self.clip_norm = clip_norm
         self.slot_dtype = slot_dtype
         self.stochastic_rounding = stochastic_rounding
         if (stochastic_rounding and slot_dtype is not None
@@ -133,6 +145,13 @@ class BaseOptimizer:
         lr = self._lr_at(t)
 
         g_leaves, treedef = jax.tree.flatten(grads)
+        if self.clip_norm is not None and g_leaves:
+            total = jnp.sqrt(builtins.sum(
+                jnp.sum(jnp.asarray(g).astype(jnp.float32) ** 2)
+                for g in g_leaves))
+            scale = jnp.minimum(1.0, self.clip_norm / (total + 1e-6))
+            g_leaves = [g * scale.astype(jnp.asarray(g).dtype)
+                        for g in g_leaves]
         p_leaves = treedef.flatten_up_to(params)
         slot_leaves = {
             n: treedef.flatten_up_to(state["slots"][n])
@@ -188,8 +207,8 @@ class BaseOptimizer:
 class SGD(BaseOptimizer):
     """step = -lr * g (reference: core/optimizer.py:41-47)."""
 
-    def __init__(self, lr, weight_decay=0.0):
-        super().__init__(lr, weight_decay)
+    def __init__(self, lr, weight_decay=0.0, clip_norm=None):
+        super().__init__(lr, weight_decay, clip_norm=clip_norm)
 
     def _step_leaf(self, g, lr, t, slots):
         return -lr * g, {}
@@ -202,8 +221,10 @@ class Momentum(BaseOptimizer):
     slot_names = ("acc",)
 
     def __init__(self, lr, momentum=0.9, weight_decay=0.0,
-                 slot_dtype=None, stochastic_rounding=False):
-        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
+                 slot_dtype=None, stochastic_rounding=False,
+                 clip_norm=None):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding,
+                         clip_norm)
         self._momentum = momentum
 
     def _step_leaf(self, g, lr, t, slots):
@@ -221,8 +242,9 @@ class Adam(BaseOptimizer):
 
     def __init__(self, lr=0.001, beta1=0.9, beta2=0.999, epsilon=1e-8,
                  weight_decay=0.0, slot_dtype=None,
-                 stochastic_rounding=False):
-        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
+                 stochastic_rounding=False, clip_norm=None):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding,
+                         clip_norm)
         self._b1 = beta1
         self._b2 = beta2
         self._eps = epsilon
@@ -255,8 +277,9 @@ class RMSProp(BaseOptimizer):
 
     def __init__(self, lr=0.01, decay=0.99, momentum=0.0, epsilon=1e-8,
                  weight_decay=0.0, slot_dtype=None,
-                 stochastic_rounding=False):
-        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
+                 stochastic_rounding=False, clip_norm=None):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding,
+                         clip_norm)
         self._decay = decay
         self._momentum = momentum
         self._eps = epsilon
@@ -277,8 +300,10 @@ class Adagrad(BaseOptimizer):
     slot_names = ("G",)
 
     def __init__(self, lr, weight_decay=0.0, epsilon=1e-8,
-                 slot_dtype=None, stochastic_rounding=False):
-        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
+                 slot_dtype=None, stochastic_rounding=False,
+                 clip_norm=None):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding,
+                         clip_norm)
         self._eps = epsilon
 
     def _step_leaf(self, g, lr, t, slots):
@@ -295,8 +320,10 @@ class Adadelta(BaseOptimizer):
     slot_names = ("Eg", "d")
 
     def __init__(self, lr=1.0, weight_decay=0.0, decay=0.9, epsilon=1e-8,
-                 slot_dtype=None, stochastic_rounding=False):
-        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding)
+                 slot_dtype=None, stochastic_rounding=False,
+                 clip_norm=None):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding,
+                         clip_norm)
         self._decay = decay
         self._eps = epsilon
 

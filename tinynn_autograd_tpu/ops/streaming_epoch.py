@@ -107,6 +107,11 @@ def supports(net, params_tree, optimizer):
             continue
         if not isinstance(layer, (Dense, Activation, Flatten)):
             return False
+    if getattr(optimizer, "clip_norm", None) is not None:
+        # global-norm clipping needs ALL gradients before ANY update; the
+        # streaming backward applies per-leaf updates in-kernel as each
+        # layer's gradient is produced — fall back to the scanned tier
+        return False
     return hasattr(optimizer, "_step_leaf")
 
 
