@@ -234,6 +234,10 @@ def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
         var = ((x - mu) ** 2).mean(-1, keepdims=True)
         return (x - mu) / jnp.sqrt(var + eps) * g + b
 
+    causal = any(getattr(l, "causal", False)
+                 for l in net.layers
+                 if isinstance(l, TransformerBlock))
+
     def fwd(p, ids):
         h = p["emb"][ids] + p["pos"]
         bsz, t, d = h.shape
@@ -243,8 +247,12 @@ def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
             def sh(x):
                 return x.reshape(bsz, t, heads, hd).transpose(0, 2, 1, 3)
             q, k, v = sh(xn @ bp["wq"]), sh(xn @ bp["wk"]), sh(xn @ bp["wv"])
-            att = jax.nn.softmax(
-                (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(hd), axis=-1)
+            s = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(hd)
+            if causal:
+                s = s + jnp.where(
+                    jnp.asarray(np.tril(np.ones((t, t), np.float32))) == 1.0,
+                    0.0, -1e9)
+            att = jax.nn.softmax(s, axis=-1)
             ctx = (att @ v).transpose(0, 2, 1, 3).reshape(bsz, t, d)
             h = h + ctx @ bp["wo"]
             yn = ln(h, bp["g2"], bp["be2"])
@@ -295,12 +303,13 @@ def bench_transformer():
 
 
 def bench_transformer_long():
-    """Config 6b: LONG-context transformer classifier (seq 2048, head_dim
-    64) — the regime where the flash-attention Pallas kernels engage
+    """Config 6b: LONG-context CAUSAL transformer (seq 2048, head_dim 64)
+    — the regime where the flash-attention Pallas kernels engage
     (auto-dispatch crossover T>=1024; ops/attention.py): the oracle's XLA
     attention materializes [T, T] scores through HBM, the framework's
-    fused path keeps them in VMEM tiles. Same-run jax.grad oracle of the
-    identical model, same methodology as config 6."""
+    fused path keeps them in VMEM tiles AND skips the DMA + compute of
+    the fully-masked causal tiles. Same-run jax.grad oracle of the
+    identical (causal) model, same methodology as config 6."""
     from tinynn_autograd_tpu.models import build_tiny_transformer
     from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
     from tinynn_autograd_tpu.nn.model import Model
@@ -316,7 +325,8 @@ def bench_transformer_long():
 
     random_seed(0)
     net = build_tiny_transformer(vocab=vocab, seq_len=seq, dim=dim,
-                                 heads=heads, depth=depth, num_out=nout)
+                                 heads=heads, depth=depth, num_out=nout,
+                                 causal=True)
     m = Model(net, SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
     x_dev, y_dev = m.stage(tx, ty)
     rates = _time_epochs(m, x_dev, y_dev, batch, n_epochs, n_train // batch)
@@ -324,9 +334,10 @@ def bench_transformer_long():
     oracle_rates = _transformer_oracle_rates(net, tx, ty, batch, n_epochs,
                                              lr=1e-3)
     floor_us = 1e6 / statistics.median(oracle_rates)
-    emit("transformer_seq2048_train_steps_per_sec", rates,
+    emit("transformer_seq2048_causal_train_steps_per_sec", rates,
          floor_us=round(floor_us, 1))
-    emit("transformer_seq2048_jaxgrad_oracle_steps_per_sec", oracle_rates)
+    emit("transformer_seq2048_causal_jaxgrad_oracle_steps_per_sec",
+         oracle_rates)
 
 
 def main():
@@ -451,13 +462,27 @@ def main():
         dp_rates.append(n_ep * (12800 // gbatch)
                         / (time.perf_counter() - t0))
     dp_rates = dp_rates[1:]
-    med_dp = emit("dp_%ddev_global_batch%d_steps_per_sec" % (n_dev, gbatch),
-                  dp_rates)
+    # VERDICT r3 item 8: the absolute steps/s row was hiccup-noisy at any
+    # repeat count (a single tunnel stall among 7 gives >100% spread), so
+    # config 5 reports the OVERHEAD-RATIO protocol only — the ratio of
+    # medians is robust to one-sided outliers — with the medians and
+    # spreads attached for transparency rather than as headline numbers.
+    med_dp = statistics.median(dp_rates)
+    med_single = statistics.median(single_rates)
+
+    def spread(r):
+        return round(100 * (max(r) - min(r)) / statistics.median(r), 1)
+
     print(json.dumps({
         "metric": "dp_path_overhead_vs_single_device",
-        "value": round(statistics.median(single_rates) / med_dp, 2),
+        "value": round(med_single / med_dp, 2),
         "unit": "x (scanned single-device epoch / dp epoch, same global "
-                "batch, %d device(s))" % n_dev}), flush=True)
+                "batch, %d device(s))" % n_dev,
+        "repeats": DP_REPEATS,
+        "dp_median_steps_per_sec": round(med_dp, 1),
+        "dp_spread_pct": spread(dp_rates),
+        "single_median_steps_per_sec": round(med_single, 1),
+        "single_spread_pct": spread(single_rates)}), flush=True)
 
     # 6. transformer family (scanned tier) + same-run jax.grad floor oracle
     bench_transformer()

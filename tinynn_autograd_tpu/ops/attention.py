@@ -139,6 +139,13 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret):
     g = _pick_head_batch(bh, bq, bk, d, n_streams=5)
     nq, nk = tq // bq, tk // bk
 
+    # causal DMA skip: fully-masked tiles (j > i for square blocks) skip
+    # their compute via pl.when; CLAMPING the k/v block index to the last
+    # valid tile also skips their DMA (Pallas only fetches when a block
+    # index changes) — halves the streamed bytes of causal long sequences
+    def jc(i, j):
+        return jnp.minimum(j, i) if causal else j
+
     kern = functools.partial(_fwd_kernel, scale=scale, causal=causal,
                              bq=bq, bk=bk, g=g)
     o, lse = pl.pallas_call(
@@ -147,9 +154,9 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret):
         in_specs=[
             pl.BlockSpec((g, bq, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, d, bk), lambda b, i, j: (b, 0, j),
+            pl.BlockSpec((g, d, bk), lambda b, i, j: (b, 0, jc(i, j)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bk, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((g, bk, d), lambda b, i, j: (b, jc(i, j), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -248,18 +255,23 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
     g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
     nq, nk = tq // bq, tk // bk
 
+    # causal DMA skip (see _fwd_pallas): in the dq kernel tiles with j > i
+    # are fully masked — clamp their j-indexed block fetches
+    def jc(i, j):
+        return jnp.minimum(j, i) if causal else j
+
     def blk(shape, which):
         # which: grid axis the block index follows ('i' or 'j' or none)
         if which == "i":
             return pl.BlockSpec(shape, lambda b, i, j: (b, i, 0),
                                 memory_space=pltpu.VMEM)
         if which == "j":
-            return pl.BlockSpec(shape, lambda b, i, j: (b, j, 0),
+            return pl.BlockSpec(shape, lambda b, i, j: (b, jc(i, j), 0),
                                 memory_space=pltpu.VMEM)
         if which == "ti":   # transposed array, block over its LANE axis
             return pl.BlockSpec(shape, lambda b, i, j: (b, 0, i),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec(shape, lambda b, i, j: (b, 0, j),
+        return pl.BlockSpec(shape, lambda b, i, j: (b, 0, jc(i, j)),
                             memory_space=pltpu.VMEM)
 
     params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g)
@@ -283,15 +295,20 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
     )(q, kt, k, vt, do, lse, delta)
 
     # dkv grid: (BH/G, nk, nq) — axis 1 is the KEY block (named j in the
-    # kernel), axis 2 the QUERY block (named i), innermost/sequential
+    # kernel), axis 2 the QUERY block (named i), innermost/sequential.
+    # Causal skip here: tiles with i < j are fully masked — clamp their
+    # i-indexed block fetches.
+    def ic(j, i):
+        return jnp.maximum(i, j) if causal else i
+
     def blk2(shape, which):
         if which == "j":
             return pl.BlockSpec(shape, lambda b, j, i: (b, j, 0),
                                 memory_space=pltpu.VMEM)
         if which == "i":
-            return pl.BlockSpec(shape, lambda b, j, i: (b, i, 0),
+            return pl.BlockSpec(shape, lambda b, j, i: (b, ic(j, i), 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec(shape, lambda b, j, i: (b, 0, i),
+        return pl.BlockSpec(shape, lambda b, j, i: (b, 0, ic(j, i)),
                             memory_space=pltpu.VMEM)  # "ti": lane axis = i
 
     dk, dv = pl.pallas_call(
