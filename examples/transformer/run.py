@@ -78,6 +78,16 @@ def main():
     acc = (pred == want).mean()
     print("greedy next-token accuracy on the grammar: %.3f" % acc)
 
+    # KV-cache incremental decoding (models.generate): one jitted scan,
+    # single-token steps — must continue the grammar from a short prompt
+    from tinynn_autograd_tpu.models import generate
+
+    prompt = x[:2, :2]
+    out = np.asarray(generate(model.net, prompt, n_new=T - 2))
+    follow = (3 * out[:, :-1] + 1) % V
+    kv_acc = (out[:, 1:] == follow).mean()
+    print("kv-cache decode grammar-follow accuracy: %.3f" % kv_acc)
+
 
 if __name__ == "__main__":
     main()
