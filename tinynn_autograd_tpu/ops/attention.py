@@ -59,8 +59,24 @@ _NEG_INF = -1e30
 # VMEM working-set target used to pick how many heads share one grid step
 _HEAD_BATCH_BUDGET = int(os.environ.get(
     "TINYNN_TPU_ATTN_HEAD_BUDGET", str(6 * 1024 * 1024)))
-_BLOCK = int(os.environ.get("TINYNN_TPU_ATTN_BLOCK", "128"))
+# Tile edge. 512 measured strictly better than 128/256 everywhere the
+# kernels engage (fewer grid steps; the kernels are step-overhead-bound
+# at 128): causal t=2048 fwd+bwd 951 vs 1604 us, t=4096 3647 vs 7107,
+# with G adapting down (to 1) to keep the working set inside VMEM.
+# Shorter sequences are unaffected (bq = min(_BLOCK, t)).
+_BLOCK = int(os.environ.get("TINYNN_TPU_ATTN_BLOCK", "512"))
 _FORCE_G = os.environ.get("TINYNN_TPU_ATTN_G")
+
+
+def _pick_block(t):
+    """Largest tile edge <= _BLOCK that divides t (t itself when shorter);
+    None when no lane-aligned tiling exists (callers fall back to XLA)."""
+    if t <= _BLOCK:
+        return t if t % 8 == 0 or t < 8 else None
+    for b in (_BLOCK, 256, 128):
+        if b <= _BLOCK and t % b == 0:
+            return b
+    return None
 
 
 def _pick_head_batch(bh, bq, bk, d, n_streams=6):
@@ -135,7 +151,7 @@ def _fwd_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
 def _fwd_pallas(q, kt, v, scale, causal, interpret):
     bh, tq, d = q.shape
     tk = v.shape[1]
-    bq, bk = min(_BLOCK, tq), min(_BLOCK, tk)
+    bq, bk = _pick_block(tq), _pick_block(tk)
     g = _pick_head_batch(bh, bq, bk, d, n_streams=5)
     nq, nk = tq // bq, tk // bk
 
@@ -251,7 +267,7 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
                 scale, causal, interpret):
     bh, tq, d = q.shape
     tk = v.shape[1]
-    bq, bk = min(_BLOCK, tq), min(_BLOCK, tk)
+    bq, bk = _pick_block(tq), _pick_block(tk)
     g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
     nq, nk = tq // bq, tk // bk
 
@@ -395,10 +411,10 @@ def _resolve_impl(impl, t):
         impl = os.environ.get("TINYNN_TPU_ATTN_IMPL")
     if impl in ("pallas", "pallas_interpret", "xla"):
         return impl
-    # auto: Pallas on TPU above the measured crossover, block-divisible
+    # auto: Pallas on TPU above the measured crossover, tileable length
     if (kernels._default_backend() == "tpu"
             and not os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
-            and t >= _PALLAS_MIN_T and t % _BLOCK == 0):
+            and t >= _PALLAS_MIN_T and _pick_block(t) is not None):
         return "pallas"
     return "xla"
 
@@ -421,9 +437,9 @@ def mha_fwd(q, k, v, causal=False, scale=None, impl=None):
     if scale is None:
         scale = 1.0 / np.sqrt(d)
     impl = _resolve_impl(impl, max(t, tk))
-    if impl == "pallas" and (t % _BLOCK and t > _BLOCK
-                             or tk % _BLOCK and tk > _BLOCK):
-        impl = "xla"  # auto never picks this; explicit impl gets safety
+    if impl == "pallas" and (_pick_block(t) is None
+                             or _pick_block(tk) is None):
+        impl = "xla"  # no lane-aligned tiling exists for these lengths
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     if impl == "xla":
         o, lse = _fwd_xla(qf, kf, vf, scale, causal)
@@ -441,8 +457,8 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None):
     if scale is None:
         scale = 1.0 / np.sqrt(d)
     impl = _resolve_impl(impl, max(t, tk))
-    if impl == "pallas" and (t % _BLOCK and t > _BLOCK
-                             or tk % _BLOCK and tk > _BLOCK):
+    if impl == "pallas" and (_pick_block(t) is None
+                             or _pick_block(tk) is None):
         impl = "xla"
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     of, dof = _fold(o), _fold(do)
