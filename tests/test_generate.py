@@ -82,7 +82,6 @@ def test_generate_after_training_produces_grammar():
     from tinynn_autograd_tpu.nn.optimizer import Adam
 
     vocab, seq = 8, 10
-    net, _, _ = (None, None, None)
     random_seed(5)
     net = build_tiny_lm(vocab=vocab, seq_len=seq, dim=32, heads=4, depth=1)
     model = Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-2))
