@@ -162,3 +162,80 @@ def test_tiny_lm_learns_deterministic_grammar():
     # predictions follow the grammar
     pred = m.forward(Tensor(x)).numpy().argmax(-1)
     assert (pred == (3 * x + 1) % V).mean() > 0.98
+
+
+# ------------------------------------------------- round 4: block dropout
+
+def test_transformer_dropout_train_vs_test():
+    """Residual dropout: TRAIN forwards vary per call; TEST is
+    deterministic and equals a zero-dropout twin with the same params."""
+    from tinynn_autograd_tpu.nn.layers import TransformerBlock
+
+    random_seed(40)
+    blk = TransformerBlock(dim=16, num_heads=4, dropout=0.5, seed=7)
+    twin = TransformerBlock(dim=16, num_heads=4, seed=7)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 16).astype(np.float32)
+
+    a = np.asarray(blk.forward(Tensor(x)).data)
+    b = np.asarray(blk.forward(Tensor(x)).data)
+    assert not np.allclose(a, b)  # fresh masks per TRAIN forward
+
+    blk.set_phase("TEST")
+    twin.set_phase("TEST")
+    t1 = np.asarray(blk.forward(Tensor(x)).data)
+    t2 = np.asarray(blk.forward(Tensor(x)).data)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_allclose(t1, np.asarray(twin.forward(Tensor(x)).data),
+                               rtol=1e-6)
+
+
+def test_transformer_attn_dropout_needs_tape():
+    from tinynn_autograd_tpu.nn.layers import TransformerBlock
+
+    with pytest.raises(ValueError, match="attn='tape'"):
+        TransformerBlock(dim=16, num_heads=4, attn_dropout=0.1)
+    blk = TransformerBlock(dim=16, num_heads=4, attn="tape",
+                           attn_dropout=0.3, seed=1)
+    rng = np.random.RandomState(1)
+    x = Tensor(rng.randn(2, 8, 16).astype(np.float32), requires_grad=True)
+    out = blk.forward(x)
+    out.backward(Tensor(np.ones((2, 8, 16), np.float32)))
+    for k, p in blk.params.items():
+        assert np.all(np.isfinite(np.asarray(p.grad))), k
+    assert np.all(np.isfinite(np.asarray(x.grad)))
+
+
+def test_transformer_dropout_trains_under_fused_step():
+    """The Model threads per-step rng into dropout-carrying blocks (they
+    advertise set_rng); the jitted step must draw fresh masks per step
+    and still converge on the routing task."""
+    from tinynn_autograd_tpu.nn.layers import (
+        Dense, GlobalAvgPool1D, TransformerBlock,
+    )
+    from tinynn_autograd_tpu.nn.net import Net
+
+    random_seed(41)
+    net = Net([Dense(16, num_in=8), TransformerBlock(dim=16, num_heads=4,
+                                                     dropout=0.2, seed=2),
+               GlobalAvgPool1D(), Dense(4, num_in=16)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(32, 8, 8).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 32)]
+    losses = [float(model.train_step(x, y)) for _ in range(60)]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.7
+    # dropout masks change per step: the loss sequence is not constant
+    assert len({round(l, 6) for l in losses[:10]}) > 3
+
+
+def test_transformer_default_has_no_set_rng():
+    """Zero-dropout blocks must NOT advertise set_rng (wrappers that
+    reject stochastic layers key on it)."""
+    from tinynn_autograd_tpu.nn.layers import TransformerBlock
+
+    blk = TransformerBlock(dim=16, num_heads=4)
+    assert not hasattr(blk, "set_rng")
+    blk_d = TransformerBlock(dim=16, num_heads=4, dropout=0.1)
+    assert hasattr(blk_d, "set_rng")

@@ -225,19 +225,41 @@ class TransformerBlock(Layer):
     fallback elsewhere, see ops/attention.py); "tape" keeps the explicit
     4-primitive chain (same numerics — the cross-check path, and the one
     the parallel wrappers mirror for their sharded attention).
+
+    ``dropout``: inverted dropout on the attention-projection and MLP
+    outputs (the standard residual-dropout sites); ``attn_dropout``:
+    dropout on the attention probabilities — requires ``attn="tape"``
+    (the fused kernel recomputes probabilities in its backward and has no
+    in-kernel mask replay yet). Masks are drawn from the rng the Model
+    threads per step (fresh under jit), or the global seeder eagerly;
+    identity in TEST phase.
     """
 
     def __init__(self, dim, num_heads, mlp_ratio=4, causal=False,
-                 w_init=None, eps=1e-5, seed=None, attn="fused"):
+                 w_init=None, eps=1e-5, seed=None, attn="fused",
+                 dropout=0.0, attn_dropout=0.0):
         super().__init__("TransformerBlock")
         assert dim % num_heads == 0, (dim, num_heads)
         assert attn in ("fused", "tape"), attn
+        if attn_dropout and attn == "fused":
+            raise ValueError(
+                "attn_dropout needs attn='tape': the fused flash kernel "
+                "recomputes attention probabilities in its backward and "
+                "does not replay dropout masks in-kernel")
         self.dim = dim
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
         self.causal = causal
         self.attn = attn
+        self.dropout = dropout
+        self.attn_dropout = attn_dropout
         self.eps = eps
+        self._rng = None
+        if dropout or attn_dropout:
+            # only dropout-carrying blocks advertise set_rng: the Model
+            # threads per-step keys to layers that HAVE it, and wrappers
+            # that can't support stochastic layers reject on it
+            self.set_rng = self._set_rng
         init = w_init if w_init is not None else XavierUniformInit()
         hidden = int(dim * mlp_ratio)
         self.shapes = {
@@ -263,6 +285,23 @@ class TransformerBlock(Layer):
     def init_params(self, input_shape):
         return tuple(input_shape)
 
+    def _set_rng(self, rng):
+        self._rng = rng
+
+    def _drop_keys(self):
+        """Three decorrelated mask sources (attn probs, attn-proj out, MLP
+        out) from the threaded per-step rng (or the global seeder)."""
+        rng = self._rng
+        self._rng = None
+        if isinstance(rng, tuple) and rng[0] == "pltpu_seed":
+            return [("pltpu_seed", rng[1] * 7919 + k) + rng[2:]
+                    for k in range(3)]
+        if rng is None:
+            rng = seeder.next_key()
+        import jax
+
+        return list(jax.random.split(rng, 3))
+
     def _mask(self, t):
         import jax.numpy as jnp
 
@@ -279,6 +318,10 @@ class TransformerBlock(Layer):
         def split_heads(x):  # [B,T,D] -> [B,H,T,hd]
             return x.reshape((b, t, h, hd)).transpose((0, 2, 1, 3))
 
+        drop = (self.is_training
+                and (self.dropout > 0.0 or self.attn_dropout > 0.0))
+        keys = self._drop_keys() if drop else None
+
         xn = ops.layer_norm_(inputs, p["g1"], p["be1"], eps=self.eps)
         q = split_heads(xn @ p["wq"])
         k = split_heads(xn @ p["wk"])
@@ -292,12 +335,19 @@ class TransformerBlock(Layer):
             if mask is not None:
                 scores = scores + mask
             attn = ops.softmax_(scores, axis=-1)
+            if drop and self.attn_dropout > 0.0:
+                attn = ops.dropout_(attn, self.attn_dropout, keys[0])
             ctx_h = attn @ v
         ctx = ctx_h.transpose((0, 2, 1, 3)).reshape((b, t, d))
-        x = inputs + ctx @ p["wo"]
+        attn_out = ctx @ p["wo"]
+        if drop and self.dropout > 0.0:
+            attn_out = ops.dropout_(attn_out, self.dropout, keys[1])
+        x = inputs + attn_out
 
         yn = ops.layer_norm_(x, p["g2"], p["be2"], eps=self.eps)
         y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+        if drop and self.dropout > 0.0:
+            y = ops.dropout_(y, self.dropout, keys[2])
         return x + y
 
 
