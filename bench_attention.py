@@ -28,7 +28,11 @@ def main():
     from tinynn_autograd_tpu.ops import attention
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=0,
+                    help="chained iterations per dispatch; 0 = auto-scale "
+                         "per shape so the ~20-40ms tunnel RTT stays <10%% "
+                         "of the run (200 was RTT-dominated — round-4 "
+                         "lesson, CLAUDE.md)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -42,6 +46,7 @@ def main():
     ]
 
     for (b, h, t, d, causal) in shapes:
+        iters = args.iters or max(150, 600000 // t)
         rng = np.random.RandomState(0)
         q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
         k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
@@ -79,7 +84,7 @@ def main():
                     o, _l = attention.mha_fwd(c, k, v, causal=causal,
                                               scale=scale, impl=impl)
                     return o, ()
-                out, _ = jax.lax.scan(body, q0, None, length=args.iters)
+                out, _ = jax.lax.scan(body, q0, None, length=iters)
                 return out
             return jax.jit(run)
 
@@ -91,8 +96,10 @@ def main():
                     dq, dk, dv = attention.mha_bwd(
                         c, k, v, o, lse, do, causal=causal, scale=scale,
                         impl=impl)
-                    return dq, ()
-                out, _ = jax.lax.scan(body, q0, None, length=args.iters)
+                    # keep dk/dv live (a dq-only carry lets XLA dead-code
+                    # half the backward and flatters its number)
+                    return dq + 1e-20 * dk + 1e-20 * dv, ()
+                out, _ = jax.lax.scan(body, q0, None, length=iters)
                 return out
             return jax.jit(run)
 
@@ -104,7 +111,7 @@ def main():
                 for _ in range(args.repeats):
                     t0 = time.perf_counter()
                     float(jnp.sum(fn(q)))
-                    best.append((time.perf_counter() - t0) / args.iters)
+                    best.append((time.perf_counter() - t0) / iters)
                 us = sorted(best)[len(best) // 2] * 1e6
                 print(json.dumps({
                     "metric": "attn_%s_%s_%s_us" % (name, impl, tag),
