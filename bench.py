@@ -27,7 +27,7 @@ TTA_MAX_EPOCHS = 50  # the reference example trains 50 epochs
 
 
 def measure_time_to_accuracy(target=TTA_TARGET, max_epochs=TTA_MAX_EPOCHS,
-                             batch=128):
+                             batch=128, require_real=False):
     """North-star metric: wall seconds / epochs until test accuracy crosses
     ``target``, per-epoch one-dispatch training + jitted eval.
 
@@ -50,7 +50,19 @@ def measure_time_to_accuracy(target=TTA_TARGET, max_epochs=TTA_MAX_EPOCHS,
     from tinynn_autograd_tpu.utils.seeder import random_seed
 
     task = "real" if os.path.exists("data/mnist.pkl.gz") else "synthetic"
-    (tx, ty), (ex, ey) = load_mnist()
+    if require_real and task != "real":
+        raise SystemExit(
+            "--require-real: data/mnist.pkl.gz is not present — refusing "
+            "to silently benchmark the synthetic stand-in. Pre-place the "
+            "mnielsen mnist.pkl.gz (optionally pinned via "
+            "TINYNN_MNIST_SHA256) and re-run.")
+    # real path: checksum-audited + structurally validated by load_mnist
+    (tx, ty), (ex, ey) = load_mnist(allow_synthetic=not require_real)
+    digest = None
+    if task == "real":
+        from tinynn_autograd_tpu.utils.datasets import file_sha256
+
+        digest = file_sha256("data/mnist.pkl.gz")
     ty_oh = one_hot(ty)
     n_train = (len(tx) // batch) * batch
 
@@ -87,16 +99,31 @@ def measure_time_to_accuracy(target=TTA_TARGET, max_epochs=TTA_MAX_EPOCHS,
             tta_s = time.perf_counter() - t0
             tta_epochs = epoch
             break
-    return {
+    out = {
         "tta_task": task,
         "tta_target": target,
         "tta_seconds": round(tta_s, 4) if tta_s is not None else None,
         "tta_epochs": tta_epochs,
         "tta_final_acc": round(accs[-1], 4) if accs else None,
     }
+    if digest is not None:
+        out["tta_data_sha256"] = digest
+    return out
 
 
 def main():
+    import os
+
+    require_real = "--require-real" in sys.argv
+    if require_real and not os.path.exists("data/mnist.pkl.gz"):
+        # fail LOUDLY and immediately — before any compile/bench work —
+        # instead of silently labeling the run synthetic
+        raise SystemExit(
+            "--require-real: data/mnist.pkl.gz is not present — refusing "
+            "to benchmark the synthetic stand-in. Pre-place the mnielsen "
+            "mnist.pkl.gz (optionally pinned via TINYNN_MNIST_SHA256) "
+            "and re-run.")
+
     import jax
 
     from tinynn_autograd_tpu.models import build_mnist_mlp
@@ -153,7 +180,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
     }
-    rec.update(measure_time_to_accuracy())
+    rec.update(measure_time_to_accuracy(require_real=require_real))
     print(json.dumps(rec))
 
 

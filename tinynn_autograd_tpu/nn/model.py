@@ -21,6 +21,7 @@ closures can't serialize at all — reference: core/model.py:18-35).
 """
 
 import pickle
+import time
 
 import jax
 import jax.numpy as jnp
@@ -111,10 +112,19 @@ class Model:
                     continue
                 if isinstance(v, (bool, int, float, str, type(None))):
                     items.append((k, v))
+                elif hasattr(v, "shape") and hasattr(v, "dtype") \
+                        and np.size(v) <= 65536:
+                    # small array hyperparams (loss class weights, schedule
+                    # tables): hash VALUES so in-place mutation of the same
+                    # array triggers a recompile instead of silently reusing
+                    # the program compiled against the old values
+                    a = np.asarray(v)
+                    items.append((k, (a.shape, str(a.dtype),
+                                      hash(a.tobytes()))))
                 else:
-                    # schedules, dtype objects, weight arrays: identity —
-                    # a swapped object recompiles, in-place mutation of the
-                    # same array is out of scope
+                    # schedules, dtype objects, big arrays: identity — a
+                    # swapped object recompiles, in-place mutation of the
+                    # same large array is out of scope
                     items.append((k, id(v)))
             return (type(obj).__name__, tuple(items))
 
@@ -465,24 +475,51 @@ class Model:
             self.net, self._params, self.optimizer)
 
     def fit(self, x, y, epochs=1, batch_size=128, shuffle=True,
-            eval_data=None, evaluator=None, eval_every=1, verbose=True):
+            eval_data=None, evaluator=None, eval_every=1, verbose=True,
+            target_metric=None, target_value=None):
         """High-level training loop: stages the data once, runs epochs via
         the fused one-dispatch path, optionally evaluating every
-        ``eval_every`` epochs. Returns the history dict."""
+        ``eval_every`` epochs. Returns the history dict:
+
+        - ``history["loss"]``: per-epoch MEAN loss (floats),
+        - ``history["loss_final"]``: last-step loss per epoch,
+        - ``history["loss_steps"]``: the full per-step trace, one array per
+          epoch (the one-dispatch path computes it anyway — don't drop it),
+        - ``history["eval"]``: evaluator results every ``eval_every`` epochs.
+
+        When ``target_metric``/``target_value`` are given (e.g.
+        ``"accuracy"``, 0.975) and an evaluator is wired, the loop records
+        ``history["time_to_target"]`` = {"seconds", "epochs"} at the first
+        eval where the metric crosses the target, and stops early."""
         x_dev, y_dev = self.stage(x, y)
-        history = {"loss": [], "eval": []}
+        history = {"loss": [], "loss_final": [], "loss_steps": [],
+                   "eval": []}
+        t0 = time.perf_counter()
         for epoch in range(epochs):
-            losses = self.train_epoch(x_dev, y_dev, batch_size=batch_size,
-                                      shuffle=shuffle)
-            loss = float(np.asarray(losses)[-1])
-            history["loss"].append(loss)
-            line = "epoch %d  loss %.4f" % (epoch, loss)
+            losses = np.asarray(self.train_epoch(
+                x_dev, y_dev, batch_size=batch_size, shuffle=shuffle))
+            history["loss_steps"].append(losses)
+            history["loss"].append(float(losses.mean()))
+            history["loss_final"].append(float(losses[-1]))
+            line = "epoch %d  loss %.4f (mean %.4f)" % (
+                epoch, history["loss_final"][-1], history["loss"][-1])
             if (eval_data is not None and evaluator is not None
                     and (epoch + 1) % eval_every == 0):
                 res = self.evaluate_batch(eval_data[0], eval_data[1],
                                           evaluator)
                 history["eval"].append(res)
                 line += "  %s" % res
+                if (target_metric is not None and target_value is not None
+                        and res.get(target_metric, -np.inf) >= target_value):
+                    history["time_to_target"] = {
+                        "seconds": time.perf_counter() - t0,
+                        "epochs": epoch + 1,
+                        target_metric: res[target_metric],
+                    }
+                    if verbose:
+                        print(line + "  [target %s>=%s reached]"
+                              % (target_metric, target_value))
+                    break
             if verbose:
                 print(line)
         return history

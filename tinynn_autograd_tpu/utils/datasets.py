@@ -10,12 +10,56 @@ throughput and time-to-accuracy benchmarks remain meaningful.
 """
 
 import gzip
+import hashlib
 import os
 import pickle
 
 import numpy as np
 
 MNIST_URL = "https://github.com/mnielsen/neural-networks-and-deep-learning/raw/master/data/mnist.pkl.gz"
+
+# sha256 of mnielsen's mnist.pkl.gz. Overridable (or settable, since this
+# build cannot verify it offline) via TINYNN_MNIST_SHA256; when neither is
+# available the loader still STRUCTURALLY validates the pickle (split
+# sizes, shapes, value ranges) and reports the file's actual digest so
+# provenance is auditable from the bench artifact.
+MNIST_SHA256 = os.environ.get("TINYNN_MNIST_SHA256")
+
+
+def file_sha256(path, chunk=1 << 20):
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def _validate_mnist(train, valid, test, path):
+    """Structural integrity check of the mnielsen pickle: the right splits,
+    shapes, dtypes-coercible arrays, and [0, 1] pixel range — so a corrupt
+    or wrong file fails loudly instead of producing a bogus 'real' number."""
+    specs = [("train", train, 50000), ("valid", valid, 10000),
+             ("test", test, 10000)]
+    for name, (xs, ys), n in specs:
+        xs, ys = np.asarray(xs), np.asarray(ys)
+        if xs.shape != (n, 784):
+            raise ValueError(
+                "%s: %s split has images %s, expected (%d, 784)"
+                % (path, name, xs.shape, n))
+        if ys.shape != (n,):
+            raise ValueError(
+                "%s: %s split has labels %s, expected (%d,)"
+                % (path, name, ys.shape, n))
+        if not (0.0 <= float(xs.min()) and float(xs.max()) <= 1.0):
+            raise ValueError(
+                "%s: %s split pixel range [%g, %g] outside [0, 1]"
+                % (path, name, xs.min(), xs.max()))
+        if int(ys.min()) < 0 or int(ys.max()) > 9:
+            raise ValueError(
+                "%s: %s split labels outside 0..9" % (path, name))
 
 
 def synthetic_mnist(n_train=50000, n_test=10000, num_classes=10, dim=784,
@@ -42,10 +86,15 @@ def synthetic_mnist(n_train=50000, n_test=10000, num_classes=10, dim=784,
     return make(n_train, seed + 1), make(n_test, seed + 2)
 
 
-def load_mnist(data_dir="./data", allow_synthetic=True):
+def load_mnist(data_dir="./data", allow_synthetic=True, sha256=None):
     """Returns ((train_x, train_y), (test_x, test_y)); x float32 [n, 784] in
     [0, 1], y int64 class indices. Real MNIST when available (downloaded or
-    pre-placed mnist.pkl.gz in data_dir), synthetic otherwise."""
+    pre-placed mnist.pkl.gz in data_dir), synthetic otherwise.
+
+    A real file is ALWAYS structurally validated (split sizes/shapes/pixel
+    range) and, when a pin is available (``sha256=`` arg or the
+    TINYNN_MNIST_SHA256 env var), checksum-verified — a mismatch raises
+    instead of silently training on the wrong bytes."""
     path = os.path.join(data_dir, "mnist.pkl.gz")
     if not os.path.exists(path):
         try:
@@ -58,8 +107,17 @@ def load_mnist(data_dir="./data", allow_synthetic=True):
             print("MNIST download unavailable (%s); using synthetic "
                   "pseudo-MNIST." % type(e).__name__)
             return synthetic_mnist()
+    expected = sha256 if sha256 is not None else MNIST_SHA256
+    if expected:
+        actual = file_sha256(path)
+        if actual != expected.lower():
+            raise ValueError(
+                "%s: sha256 %s does not match the pinned %s — refusing to "
+                "load (delete the file or fix TINYNN_MNIST_SHA256)"
+                % (path, actual, expected))
     with gzip.open(path, "rb") as f:
         train, valid, test = pickle.load(f, encoding="latin1")
+    _validate_mnist(train, valid, test, path)
     # fold validation into train like the reference's 50k/10k usage
     train_x = np.concatenate([train[0], valid[0]]).astype(np.float32)
     train_y = np.concatenate([train[1], valid[1]]).astype(np.int64)
