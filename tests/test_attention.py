@@ -242,3 +242,101 @@ def test_causal_cross_attention_rejected():
     k = jnp.zeros((1, 1, 16, 4))
     with pytest.raises(ValueError, match="Tq == Tk"):
         attention.mha_fwd(q, k, k, causal=True)
+
+
+# ------------------------------------------- attention-probability dropout
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("t", [16, 256])
+def test_dropout_pallas_interpret_matches_xla(causal, t):
+    """The in-kernel hash masks are a pure function of (head, q, k, seed):
+    the Pallas kernels and the XLA fallback must produce IDENTICAL dropout
+    — forward and all three gradients — from the same seed."""
+    q, k, v = _qkv(b=1, h=4, t=t, d=8, seed=11)
+    rng = np.random.RandomState(12)
+    do = rng.randn(*q.shape).astype(np.float32)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    kw = dict(causal=causal, scale=scale, dropout_rate=0.35,
+              dropout_seed=1234)
+    o_x, lse_x = attention.mha_fwd(*args, impl="xla", **kw)
+    o_p, lse_p = attention.mha_fwd(*args, impl="pallas_interpret", **kw)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_x),
+                               rtol=1e-5, atol=1e-6)
+    ref = attention.mha_bwd(*args, o_x, lse_x, jnp.asarray(do), impl="xla",
+                            **kw)
+    got = attention.mha_bwd(*args, o_x, lse_x, jnp.asarray(do),
+                            impl="pallas_interpret", **kw)
+    for a, b, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
+@pytest.mark.parametrize("causal", [False, True])
+def test_dropout_primitive_matches_tape_twin_same_mask(impl, causal):
+    """Exact fwd+bwd parity with a tape twin that applies the SAME hash
+    mask to the materialized softmax probabilities — verifies the dropout
+    calculus (normalizer unmasked, delta unchanged, masked dV/ds) against
+    the tape's generic VJPs at identical masks."""
+    b, h, t, d = 2, 2, 16, 8
+    q, k, v = _qkv(b=b, h=h, t=t, d=d, seed=13)
+    rng = np.random.RandomState(14)
+    do = rng.randn(*q.shape).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    rate, seed = 0.4, 777
+
+    qt, kt, vt = (Tensor(x, requires_grad=True) for x in (q, k, v))
+    out_f = ops.flash_attention_(qt, kt, vt, causal=causal, scale=scale,
+                                 impl=impl, dropout_rate=rate,
+                                 dropout_rng=("pltpu_seed", seed))
+    out_f.backward(Tensor(do))
+
+    # tape twin with the same keep decisions applied post-softmax
+    keep = np.asarray(attention._tile_keep_mask(
+        seed, 0, 0, 0, b * h, t, t, t, t,
+        attention._keep_thresh(rate))).reshape(b, h, t, t)
+    q2, k2, v2 = (Tensor(x, requires_grad=True) for x in (q, k, v))
+    scores = (q2 @ k2.transpose((0, 1, 3, 2))) * scale
+    if causal:
+        mask = jnp.where(
+            jnp.asarray(np.tril(np.ones((t, t), np.float32))) == 1.0,
+            0.0, -1e30)
+        scores = scores + mask
+    probs = ops.softmax_(scores, axis=-1)
+    dropped = probs * (keep.astype(np.float32) / (1.0 - rate))
+    out_t = dropped @ v2
+    out_t.backward(Tensor(do))
+
+    np.testing.assert_allclose(np.asarray(out_f.data),
+                               np.asarray(out_t.data), rtol=1e-5, atol=1e-6)
+    for a, bb, name in [(qt, q2, "dq"), (kt, k2, "dk"), (vt, v2, "dv")]:
+        np.testing.assert_allclose(np.asarray(a.grad), np.asarray(bb.grad),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_dropout_statistics_and_seed_decorrelation():
+    """Drop fraction tracks the rate; different seeds give different masks;
+    the same seed replays identically; rate=0 is the exact no-op."""
+    rate = 0.3
+    bits = np.asarray(attention._tile_keep_mask(
+        5, 0, 0, 0, 4, 64, 64, 64, 64, attention._keep_thresh(rate)))
+    frac = 1.0 - bits.mean()
+    assert abs(frac - rate) < 0.02, frac
+
+    q, k, v = _qkv(b=1, h=2, t=32, d=8, seed=15)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    o1, _ = attention.mha_fwd(*args, impl="xla", dropout_rate=rate,
+                              dropout_seed=1)
+    o1b, _ = attention.mha_fwd(*args, impl="xla", dropout_rate=rate,
+                               dropout_seed=1)
+    o2, _ = attention.mha_fwd(*args, impl="xla", dropout_rate=rate,
+                              dropout_seed=2)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o1b))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    o0, _ = attention.mha_fwd(*args, impl="xla")
+    o0r, _ = attention.mha_fwd(*args, impl="xla", dropout_rate=0.0,
+                               dropout_seed=3)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o0r))

@@ -122,3 +122,50 @@ def test_causal_context_parallel_matches_single_device(mode):
                                    rtol=2e-5, atol=1e-6)
 
 
+
+# ------------------------------------------- round 5: dropout under CP
+
+@pytest.mark.parametrize("mode", ["ring", "ulysses"])
+def test_cp_dropout_trains(mode):
+    """CP trains transformers WITH dropout (round 5; previously rejected):
+    residual + attention-probability dropout, device-folded masks."""
+    random_seed(21)
+    net = build_tiny_transformer(vocab=16, seq_len=16, dim=32, heads=8,
+                                 depth=2, num_out=16, dropout=0.1,
+                                 attn_dropout=0.1)
+    from tinynn_autograd_tpu.nn.model import Model as _M
+
+    cp = ContextParallel(_M(net, SoftmaxCrossEntropyLoss(), Adam(1e-2)),
+                         mesh=make_mesh(8, axis_name="ctx"), mode=mode)
+    x, y = _data(64)
+    losses = [float(cp.train_step(x, y)) for _ in range(30)]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.6
+    # masks refresh per step (stochastic loss sequence)
+    assert len({round(l, 6) for l in losses[:10]}) > 3
+
+
+def test_cp_replicated_dropout_layer_trains():
+    """A plain Dropout layer OUTSIDE the block chain runs replicated: all
+    devices must apply the identical mask (shared rep key) — training
+    stays finite and converges."""
+    from tinynn_autograd_tpu.nn.layers import (
+        Dense, Dropout, GlobalAvgPool1D, TransformerBlock,
+    )
+    from tinynn_autograd_tpu.nn.net import Net
+    from tinynn_autograd_tpu.nn.model import Model as _M
+
+    random_seed(22)
+    net = Net([
+        Dense(32, num_in=8),
+        TransformerBlock(dim=32, num_heads=4, seed=5),
+        GlobalAvgPool1D(), Dropout(0.2), Dense(4, num_in=32),
+    ])
+    cp = ContextParallel(_M(net, SoftmaxCrossEntropyLoss(), Adam(1e-2)),
+                         mesh=make_mesh(8, axis_name="ctx"))
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 16, 8).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 16)]
+    losses = [float(cp.train_step(x, y)) for _ in range(25)]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.8

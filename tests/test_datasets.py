@@ -40,7 +40,8 @@ def test_load_mnist_parses_mnielsen_format(tmp_path):
     data_dir = str(tmp_path)
     payload = _write_fixture(os.path.join(data_dir, "mnist.pkl.gz"))
     (tx, ty), (ex, ey) = load_mnist(data_dir=data_dir,
-                                    allow_synthetic=False)
+                                    allow_synthetic=False,
+                                    strict_sizes=False)
     # train = train + valid folded together (the reference's 50k/10k usage)
     assert tx.shape == (12, 784) and tx.dtype == np.float32
     assert ty.shape == (12,) and ty.dtype == np.int64

@@ -117,14 +117,20 @@ def _toy_copy(seed):
     return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
 
 
-def test_tp_rejects_unsupported_layers():
+def test_tp_trains_with_dropout_layer():
+    """Round 5: TP supports stochastic layers (previously rejected). A
+    plain Dropout runs on model-axis-replicated activations with the SAME
+    mask on every device (shared rep key)."""
     random_seed(5)
-    net = Net([Dense(16, num_in=8), Dropout(0.5), Dense(4, num_in=16)])
-    m = Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+    net = Net([Dense(16, num_in=8), Dropout(0.3), Dense(4, num_in=16)])
+    m = Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-2))
     tp = TensorParallel(m, mesh=make_mesh(8, axis_name="model"))
-    x, y = _data(8)
-    with pytest.raises(ValueError):
-        tp.train_step(x, y)
+    x, y = _data(32)
+    losses = [float(tp.train_step(x, y)) for _ in range(30)]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.8
+    # masks refresh per step
+    assert len({round(l, 6) for l in losses[:10]}) > 3
 
 
 def test_tp_multi_pair_matches_single_device():
@@ -309,3 +315,62 @@ def test_tp_mixed_dense_and_block_layout():
     # contract — instead just check the layout is per-run ("rep", "rep")
     tp._plan_layout()
     assert tp._layout == ["rep", "rep"]
+
+
+# ------------------------------------------- round 5: dropout under TP/SP
+
+def _dropout_transformer(seed, heads=8, sp=False):
+    from tinynn_autograd_tpu.models import build_tiny_transformer
+
+    random_seed(seed)
+    net = build_tiny_transformer(vocab=16, seq_len=16, dim=32, heads=heads,
+                                 depth=2, num_out=16, dropout=0.1,
+                                 attn_dropout=0.1)
+    return Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-2))
+
+
+@pytest.mark.parametrize("sp", [False, True])
+def test_tp_transformer_dropout_trains(sp):
+    """TransformerBlock dropout under plain TP (replicated residual sites,
+    head-sharded attention masks) and Megatron-SP (sequence-sharded
+    residual sites) — trains, finite, stochastic per step."""
+    tp = TensorParallel(_dropout_transformer(31),
+                        mesh=make_mesh(8, axis_name="model"),
+                        sequence_parallel=sp)
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 16, (64, 16))
+    y = np.eye(16, dtype=np.float32)[x[:, 0]]
+    losses = [float(tp.train_step(x, y)) for _ in range(30)]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.6
+    assert len({round(l, 6) for l in losses[:10]}) > 3
+
+
+def test_tp_dropout_keeps_replicated_params_in_sync():
+    """THE replication invariant under dropout: after training steps with
+    per-device attention masks, every replicated param leaf (norm scales,
+    biases) must hold IDENTICAL values on all devices — the f/psum
+    conjugates make the replicated-param grads total, so decorrelated
+    head masks must not desynchronize them."""
+    from jax.sharding import PartitionSpec as P
+
+    tp = TensorParallel(_dropout_transformer(32),
+                        mesh=make_mesh(8, axis_name="model"))
+    rng = np.random.RandomState(1)
+    x = rng.randint(0, 16, (32, 16))
+    y = np.eye(16, dtype=np.float32)[x[:, 0]]
+    for _ in range(3):
+        tp.train_step(x, y)
+    checked = 0
+    for li, layer_tree in enumerate(tp._params):
+        for name, arr in layer_tree.items():
+            if tp._specs[li][name] != P():
+                continue  # sharded leaf: shards differ by design
+            shards = [np.asarray(s.data) for s in arr.addressable_shards]
+            for s in shards[1:]:
+                np.testing.assert_array_equal(
+                    s, shards[0],
+                    err_msg="replicated leaf %d/%s diverged across "
+                            "devices under dropout" % (li, name))
+            checked += 1
+    assert checked > 0

@@ -190,12 +190,13 @@ def test_transformer_dropout_train_vs_test():
                                rtol=1e-6)
 
 
-def test_transformer_attn_dropout_needs_tape():
+@pytest.mark.parametrize("attn", ["tape", "fused"])
+def test_transformer_attn_dropout_both_paths(attn):
+    """attn_dropout works under BOTH attention paths (round 5: the fused
+    flash kernels replay in-kernel hash masks; previously fused raised)."""
     from tinynn_autograd_tpu.nn.layers import TransformerBlock
 
-    with pytest.raises(ValueError, match="attn='tape'"):
-        TransformerBlock(dim=16, num_heads=4, attn_dropout=0.1)
-    blk = TransformerBlock(dim=16, num_heads=4, attn="tape",
+    blk = TransformerBlock(dim=16, num_heads=4, attn=attn,
                            attn_dropout=0.3, seed=1)
     rng = np.random.RandomState(1)
     x = Tensor(rng.randn(2, 8, 16).astype(np.float32), requires_grad=True)
@@ -204,6 +205,16 @@ def test_transformer_attn_dropout_needs_tape():
     for k, p in blk.params.items():
         assert np.all(np.isfinite(np.asarray(p.grad))), k
     assert np.all(np.isfinite(np.asarray(x.grad)))
+    # fresh masks per TRAIN forward; TEST phase is deterministic identity
+    a = np.asarray(blk.forward(Tensor(x.data)).data)
+    b = np.asarray(blk.forward(Tensor(x.data)).data)
+    assert not np.allclose(a, b)
+    blk.set_phase("TEST")
+    twin = TransformerBlock(dim=16, num_heads=4, attn=attn, seed=1)
+    twin.set_phase("TEST")
+    np.testing.assert_allclose(
+        np.asarray(blk.forward(Tensor(x.data)).data),
+        np.asarray(twin.forward(Tensor(x.data)).data), rtol=1e-6)
 
 
 def test_transformer_dropout_trains_under_fused_step():
@@ -239,3 +250,27 @@ def test_transformer_default_has_no_set_rng():
     assert not hasattr(blk, "set_rng")
     blk_d = TransformerBlock(dim=16, num_heads=4, dropout=0.1)
     assert hasattr(blk_d, "set_rng")
+
+
+def test_transformer_fused_attn_dropout_trains():
+    """Round 5: attn='fused' + attn_dropout + dropout trains end-to-end
+    under the jitted step (in-kernel hash-mask dropout in the flash path),
+    with per-step mask refresh."""
+    from tinynn_autograd_tpu.nn.layers import (
+        Dense, GlobalAvgPool1D, TransformerBlock,
+    )
+    from tinynn_autograd_tpu.nn.net import Net
+
+    random_seed(43)
+    net = Net([Dense(16, num_in=8),
+               TransformerBlock(dim=16, num_heads=4, attn="fused",
+                                dropout=0.1, attn_dropout=0.2, seed=3),
+               GlobalAvgPool1D(), Dense(4, num_in=16)])
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(lr=1e-2))
+    rng = np.random.RandomState(0)
+    x = rng.randn(32, 8, 8).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 32)]
+    losses = [float(model.train_step(x, y)) for _ in range(60)]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.7
+    assert len({round(l, 6) for l in losses[:10]}) > 3

@@ -228,11 +228,15 @@ class TransformerBlock(Layer):
 
     ``dropout``: inverted dropout on the attention-projection and MLP
     outputs (the standard residual-dropout sites); ``attn_dropout``:
-    dropout on the attention probabilities — requires ``attn="tape"``
-    (the fused kernel recomputes probabilities in its backward and has no
-    in-kernel mask replay yet). Masks are drawn from the rng the Model
-    threads per step (fresh under jit), or the global seeder eagerly;
-    identity in TEST phase.
+    dropout on the attention probabilities. Under ``attn="fused"`` the
+    probability masks are generated and REPLAYED inside the flash kernels
+    from a counter-hash of the absolute (head, query, key) index — no
+    [T, T] mask tensor ever exists (see ops/attention.py "dropout
+    machinery"); under ``attn="tape"`` they're ordinary ops.dropout_
+    masks on the materialized probabilities (different mask stream, same
+    distribution). Masks are drawn from the rng the Model threads per
+    step (fresh under jit), or the global seeder eagerly; identity in
+    TEST phase.
     """
 
     def __init__(self, dim, num_heads, mlp_ratio=4, causal=False,
@@ -241,11 +245,6 @@ class TransformerBlock(Layer):
         super().__init__("TransformerBlock")
         assert dim % num_heads == 0, (dim, num_heads)
         assert attn in ("fused", "tape"), attn
-        if attn_dropout and attn == "fused":
-            raise ValueError(
-                "attn_dropout needs attn='tape': the fused flash kernel "
-                "recomputes attention probabilities in its backward and "
-                "does not replay dropout masks in-kernel")
         self.dim = dim
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
@@ -327,8 +326,12 @@ class TransformerBlock(Layer):
         k = split_heads(xn @ p["wk"])
         v = split_heads(xn @ p["wv"])
         if self.attn == "fused":
-            ctx_h = ops.flash_attention_(q, k, v, causal=self.causal,
-                                         scale=1.0 / np.sqrt(hd))
+            attn_rate = (self.attn_dropout
+                         if drop and self.attn_dropout > 0.0 else 0.0)
+            ctx_h = ops.flash_attention_(
+                q, k, v, causal=self.causal, scale=1.0 / np.sqrt(hd),
+                dropout_rate=attn_rate,
+                dropout_rng=keys[0] if attn_rate else None)
         else:
             scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
             mask = self._mask(t)

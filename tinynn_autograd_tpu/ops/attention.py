@@ -114,11 +114,82 @@ def _bdot(a, b):
         preferred_element_type=jnp.float32)
 
 
+# ------------------------------------------------------- dropout machinery
+#
+# Attention-probability dropout with NO stored mask: the keep/drop decision
+# for probability p[h, qi, kj] is a pure counter-hash of the ABSOLUTE
+# (head, query, key) index and a per-call seed, so the forward kernel, both
+# recompute-backward kernels (which tile the [T, T] plane in a TRANSPOSED
+# orientation), and the XLA fallback all regenerate the identical mask
+# independently — in-kernel replay without materializing [B, H, T, T] bits
+# in HBM. Built on broadcasted_iota + a murmur3-style finalizer (the same
+# construction as ops.primitives._hash_bits_u32) so it lowers in Mosaic,
+# XLA-TPU, and CPU interpret mode alike; dropout needs i.i.d.-looking
+# bits, not crypto.
+#
+# Math: with P = softmax(S) and M the keep mask, O = (M ∘ P / keep) V.
+# Only the P-V product is masked — the online-softmax normalizer l still
+# sums the UNMASKED p̃, and the backward's delta term is unchanged:
+# D_i = Σ_k dp_ik p_ik = dO_i · O_i exactly as in the no-dropout scheme.
+# The per-tile backward factors become
+#     ds_ij = p_ij (m_ij (dO_i·V_j)/keep − D_i) scale
+#     dV_j  = Σ_i (m_ij p_ij / keep) dO_i.
+
+def _tile_keep_mask(seed, h0, q0, k0, g, nrow, ncol, tq, tk, thresh,
+                    q_axis=1):
+    """Boolean [g, nrow, ncol] keep-mask for one score tile. ``q_axis``
+    names which tile axis (1 or 2) carries the QUERY index — the dk/dv
+    kernel works transposed (keys on sublanes) and still replays the same
+    per-(head, q, k) decision."""
+    hi = jax.lax.broadcasted_iota(jnp.uint32, (g, nrow, ncol), 0) \
+        + jnp.asarray(h0, jnp.uint32)
+    a1 = jax.lax.broadcasted_iota(jnp.uint32, (g, nrow, ncol), 1)
+    a2 = jax.lax.broadcasted_iota(jnp.uint32, (g, nrow, ncol), 2)
+    qi = (a1 if q_axis == 1 else a2) + jnp.asarray(q0, jnp.uint32)
+    ki = (a2 if q_axis == 1 else a1) + jnp.asarray(k0, jnp.uint32)
+    x = (hi * jnp.uint32(tq) + qi) * jnp.uint32(tk) + ki
+    x = x + jnp.asarray(seed, jnp.uint32) * jnp.uint32(2654435761)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x < thresh
+
+
+def _keep_thresh(rate):
+    return jnp.uint32(int((1.0 - rate) * (2 ** 32 - 1)))
+
+
 # --------------------------------------------------------------- forward
 
-def _fwd_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
-                *, scale, causal, bq, bk, g):
-    i, j = pl.program_id(1), pl.program_id(2)
+def _fwd_kernel_single(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
+                       *, scale, causal, bq, bk, g, tq, tk, dropout):
+    """Short-T specialization (VERDICT r4 item 4): when the whole [T, T]
+    score tile fits one block (nq == nk == 1), the online-softmax
+    recurrence — scratch init/rescale/finish and their @pl.when branches —
+    is pure overhead. This kernel does the direct computation: one s tile,
+    row softmax, one P·V matmul. Same outputs (o, lse), same dropout
+    semantics as the gridded kernel."""
+    b = pl.program_id(0)
+    q = q_ref[...]
+    s = _bdot(q, kt_ref[...]) * scale                  # [G, T, T] f32
+    if causal:
+        rows, cols = _causal_mask(0, 0, g, bq, bk)
+        s = jnp.where(rows >= cols, s, _NEG_INF)
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    if dropout > 0.0:
+        keep = _tile_keep_mask(seed_ref[0, 0], b * g, 0, 0,
+                               g, bq, bk, tq, tk, _keep_thresh(dropout))
+        p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout))
+    o_ref[...] = (_bdot(p.astype(q.dtype), v_ref[...]) / l).astype(
+        o_ref.dtype)
+    lse_ref[...] = m + jnp.log(l)
+
+
+def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr,
+                l_scr, *, scale, causal, bq, bk, g, tq, tk, dropout):
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
@@ -138,6 +209,12 @@ def _fwd_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
         alpha = jnp.exp(m_old - m_new)
         p = jnp.exp(s - m_new)
         l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        if dropout > 0.0:
+            # mask the P·V accumulation only — the softmax normalizer
+            # keeps summing the unmasked p (see dropout machinery note)
+            keep = _tile_keep_mask(seed_ref[0, 0], b * g, i * bq, j * bk,
+                                   g, bq, bk, tq, tk, _keep_thresh(dropout))
+            p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout))
         acc[...] = acc[...] * alpha + _bdot(p.astype(q.dtype), v_ref[...])
         m_scr[...] = m_new
 
@@ -148,7 +225,7 @@ def _fwd_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
         lse_ref[...] = m_scr[...] + jnp.log(l)
 
 
-def _fwd_pallas(q, kt, v, scale, causal, interpret):
+def _fwd_pallas(q, kt, v, scale, causal, interpret, dropout=0.0, seed=None):
     bh, tq, d = q.shape
     tk = v.shape[1]
     bq, bk = _pick_block(tq), _pick_block(tk)
@@ -162,12 +239,26 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret):
     def jc(i, j):
         return jnp.minimum(j, i) if causal else j
 
-    kern = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                             bq=bq, bk=bk, g=g)
+    params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g,
+                  tq=tq, tk=tk, dropout=dropout)
+    seed_arr = _seed_arr(seed)
+    if nq == 1 and nk == 1:
+        # whole [T, T] tile resident: direct softmax kernel, no scratch
+        kern = functools.partial(_fwd_kernel_single, **params)
+        scratches = []
+    else:
+        kern = functools.partial(_fwd_kernel, **params)
+        scratches = [
+            pltpu.VMEM((g, bq, d), jnp.float32),
+            pltpu.VMEM((g, bq, 1), jnp.float32),
+            pltpu.VMEM((g, bq, 1), jnp.float32),
+        ]
     o, lse = pl.pallas_call(
         kern,
         grid=(bh // g, nq, nk),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((g, bq, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, d, bk), lambda b, i, j: (b, 0, jc(i, j)),
@@ -185,11 +276,7 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret):
             pl.BlockSpec((g, bq, 1), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((g, bq, d), jnp.float32),
-            pltpu.VMEM((g, bq, 1), jnp.float32),
-            pltpu.VMEM((g, bq, 1), jnp.float32),
-        ],
+        scratch_shapes=scratches,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -199,15 +286,23 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret):
             transcendentals=bh * tq * tk,
         ),
         interpret=interpret,
-    )(q, kt, v)
+    )(seed_arr, q, kt, v)
     return o, lse
+
+
+def _seed_arr(seed):
+    """Seed scalar as a (1, 1) uint32 SMEM operand (0 when unused)."""
+    if seed is None:
+        seed = 0
+    return jnp.asarray(seed, jnp.uint32).reshape(1, 1)
 
 
 # -------------------------------------------------------------- backward
 
-def _dq_kernel(q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, dq_acc, *, scale, causal, bq, bk, g):
-    i, j = pl.program_id(1), pl.program_id(2)
+def _dq_kernel(seed_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref,
+               delta_ref, dq_ref, dq_acc, *, scale, causal, bq, bk, g,
+               tq, tk, dropout):
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
@@ -222,6 +317,12 @@ def _dq_kernel(q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref, delta_ref,
             s = jnp.where(rows >= cols, s, _NEG_INF)
         p = jnp.exp(s - lse_ref[...])
         dp = _bdot(do_ref[...], vt_ref[...])           # [G, bq, bk]
+        if dropout > 0.0:
+            # replay the forward's keep decisions (same hash of the
+            # absolute indices); ds = p (m dp/keep − D) scale
+            keep = _tile_keep_mask(seed_ref[0, 0], b * g, i * bq, j * bk,
+                                   g, bq, bk, tq, tk, _keep_thresh(dropout))
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout))
         ds = (p * (dp - delta_ref[...]) * scale).astype(q.dtype)
         dq_acc[...] += _bdot(ds, k_ref[...])           # [G, bq, d]
 
@@ -230,13 +331,13 @@ def _dq_kernel(q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref, delta_ref,
         dq_ref[...] = dq_acc[...].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(k_ref, qt_ref, q_ref, dot_ref, do_ref, v_ref, lse_r_ref,
-                delta_r_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                *, scale, causal, bq, bk, g):
+def _dkv_kernel(seed_ref, k_ref, qt_ref, q_ref, dot_ref, do_ref, v_ref,
+                lse_r_ref, delta_r_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                *, scale, causal, bq, bk, g, tq, tk, dropout):
     """Transposed-tile layout: keys on sublanes, queries on lanes —
     s^T = K Q^T, p^T = exp(s^T - L_row); then
     dV = p^T dO and dK = ds^T Q are BOTH native-form matmuls."""
-    j, i = pl.program_id(1), pl.program_id(2)
+    b, j, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(i == 0)
     def _init():
@@ -252,8 +353,20 @@ def _dkv_kernel(k_ref, qt_ref, q_ref, dot_ref, do_ref, v_ref, lse_r_ref,
             # rows are KEY indices, cols are QUERY indices: valid q >= k
             st = jnp.where(cols >= rows, st, _NEG_INF)
         pt = jnp.exp(st - lse_r_ref[...])              # [G, bk, bq]
-        dv_acc[...] += _bdot(pt.astype(k.dtype), do_ref[...])
-        dpt = _bdot(v_ref[...], dot_ref[...])          # [G, bk, bq]
+        if dropout > 0.0:
+            # transposed-orientation replay: queries live on LANES here
+            # (q_axis=2), same absolute-index hash as the forward
+            keep = _tile_keep_mask(seed_ref[0, 0], b * g, i * bq, j * bk,
+                                   g, bk, bq, tq, tk, _keep_thresh(dropout),
+                                   q_axis=2)
+            inv = 1.0 / (1.0 - dropout)
+            ptd = jnp.where(keep, pt, 0.0) * inv       # masked p^T / keep
+            dv_acc[...] += _bdot(ptd.astype(k.dtype), do_ref[...])
+            dpt = _bdot(v_ref[...], dot_ref[...])      # [G, bk, bq]
+            dpt = jnp.where(keep, dpt, 0.0) * inv
+        else:
+            dv_acc[...] += _bdot(pt.astype(k.dtype), do_ref[...])
+            dpt = _bdot(v_ref[...], dot_ref[...])      # [G, bk, bq]
         dst = (pt * (dpt - delta_r_ref[...]) * scale).astype(k.dtype)
         dk_acc[...] += _bdot(dst, q_ref[...])          # [G, bk, d]
 
@@ -264,12 +377,13 @@ def _dkv_kernel(k_ref, qt_ref, q_ref, dot_ref, do_ref, v_ref, lse_r_ref,
 
 
 def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
-                scale, causal, interpret):
+                scale, causal, interpret, dropout=0.0, seed=None):
     bh, tq, d = q.shape
     tk = v.shape[1]
     bq, bk = _pick_block(tq), _pick_block(tk)
     g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
     nq, nk = tq // bq, tk // bk
+    seed_arr = _seed_arr(seed)
 
     # causal DMA skip (see _fwd_pallas): in the dq kernel tiles with j > i
     # are fully masked — clamp their j-indexed block fetches
@@ -290,11 +404,15 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
         return pl.BlockSpec(shape, lambda b, i, j: (b, 0, jc(i, j)),
                             memory_space=pltpu.VMEM)
 
-    params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g)
+    params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g,
+                  tq=tq, tk=tk, dropout=dropout)
+    smem_scalar = pl.BlockSpec((1, 1), lambda b, i, j: (0, 0),
+                               memory_space=pltpu.SMEM)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **params),
         grid=(bh // g, nq, nk),
-        in_specs=[blk((g, bq, d), "i"), blk((g, d, bk), "tj"),
+        in_specs=[smem_scalar,
+                  blk((g, bq, d), "i"), blk((g, d, bk), "tj"),
                   blk((g, bk, d), "j"), blk((g, d, bk), "tj"),
                   blk((g, bq, d), "i"), blk((g, bq, 1), "i"),
                   blk((g, bq, 1), "i")],
@@ -308,7 +426,7 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
             bytes_accessed=6 * bh * (tq + tk) * d * 4,
             transcendentals=bh * tq * tk),
         interpret=interpret,
-    )(q, kt, k, vt, do, lse, delta)
+    )(seed_arr, q, kt, k, vt, do, lse, delta)
 
     # dkv grid: (BH/G, nk, nq) — axis 1 is the KEY block (named j in the
     # kernel), axis 2 the QUERY block (named i), innermost/sequential.
@@ -327,10 +445,13 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
         return pl.BlockSpec(shape, lambda b, j, i: (b, 0, ic(j, i)),
                             memory_space=pltpu.VMEM)  # "ti": lane axis = i
 
+    smem_scalar2 = pl.BlockSpec((1, 1), lambda b, j, i: (0, 0),
+                                memory_space=pltpu.SMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, **params),
         grid=(bh // g, nk, nq),
         in_specs=[
+            smem_scalar2,
             blk2((g, bk, d), "j"),     # k
             blk2((g, d, bq), "ti"),    # qt
             blk2((g, bq, d), "i"),     # q
@@ -352,13 +473,21 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
             bytes_accessed=6 * bh * (tq + tk) * d * 4,
             transcendentals=bh * tq * tk),
         interpret=interpret,
-    )(k, qt, q, dot_, do, v, lse_r, delta_r)
+    )(seed_arr, k, qt, q, dot_, do, v, lse_r, delta_r)
     return dq, dk, dv
 
 
 # ---------------------------------------------------------- XLA fallback
 
-def _fwd_xla(q, k, v, scale, causal):
+def _full_keep_mask(seed, bh, tq, tk, dropout):
+    """[BH, Tq, Tk] keep-mask — the SAME per-(head, q, k) hash the Pallas
+    kernels replay tile-by-tile, evaluated over the whole plane (the XLA
+    fallback materializes scores anyway)."""
+    return _tile_keep_mask(seed, 0, 0, 0, bh, tq, tk, tq, tk,
+                           _keep_thresh(dropout))
+
+
+def _fwd_xla(q, k, v, scale, causal, dropout=0.0, seed=None):
     """Identical math (incl. the saved logsumexp) in plain XLA — the CPU /
     odd-shape path. Scores DO materialize here; this is the correctness
     twin, not the fast path."""
@@ -371,12 +500,17 @@ def _fwd_xla(q, k, v, scale, causal):
     m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=2, keepdims=True)
+    if dropout > 0.0:
+        keep = _full_keep_mask(seed, q.shape[0], q.shape[1], k.shape[1],
+                               dropout)
+        p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout))
     o = jnp.einsum("bqk,bkd->bqd", p.astype(q.dtype), v,
                    preferred_element_type=jnp.float32) / l
     return o.astype(q.dtype), m + jnp.log(l)
 
 
-def _bwd_xla(q, k, v, do, lse, delta, scale, causal):
+def _bwd_xla(q, k, v, do, lse, delta, scale, causal, dropout=0.0,
+             seed=None):
     s = jnp.einsum("bqd,bkd->bqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     if causal:
@@ -384,9 +518,17 @@ def _bwd_xla(q, k, v, do, lse, delta, scale, causal):
         mask = np.tril(np.ones((t, t), np.bool_))
         s = jnp.where(mask, s, _NEG_INF)
     p = jnp.exp(s - lse)
-    dv = jnp.einsum("bqk,bqd->bkd", p.astype(q.dtype), do,
-                    preferred_element_type=jnp.float32)
     dp = jnp.einsum("bqd,bkd->bqk", do, v,
+                    preferred_element_type=jnp.float32)
+    if dropout > 0.0:
+        keep = _full_keep_mask(seed, q.shape[0], q.shape[1], k.shape[1],
+                               dropout)
+        inv = 1.0 / (1.0 - dropout)
+        pd = jnp.where(keep, p, 0.0) * inv
+        dp = jnp.where(keep, dp, 0.0) * inv
+    else:
+        pd = p
+    dv = jnp.einsum("bqk,bqd->bkd", pd.astype(q.dtype), do,
                     preferred_element_type=jnp.float32)
     ds = (p * (dp - delta) * scale).astype(q.dtype)
     dq = jnp.einsum("bqk,bkd->bqd", ds, k,
@@ -424,11 +566,17 @@ def _fold(x):
     return x.reshape(b * h, t, d)
 
 
-def mha_fwd(q, k, v, causal=False, scale=None, impl=None):
+def mha_fwd(q, k, v, causal=False, scale=None, impl=None,
+            dropout_rate=0.0, dropout_seed=None):
     """softmax(Q K^T * scale [+ causal mask]) V. Q: [B, H, Tq, d];
     K/V: [B, H, Tk, d] (cross-attention allowed; ``causal`` requires
     Tq == Tk). Returns (o [B,H,Tq,d], lse [B,H,Tq,1] f32) — lse is the
-    per-row logsumexp of the scaled scores, consumed by mha_bwd."""
+    per-row logsumexp of the scaled scores, consumed by mha_bwd.
+
+    ``dropout_rate``/``dropout_seed``: attention-probability dropout with
+    an in-kernel counter-hash mask — no [T, T] mask tensor exists anywhere;
+    mha_bwd replays the identical mask from the same (static rate, traced
+    seed) pair. The seed is a uint32 scalar (python int or traced)."""
     b, h, t, d = q.shape
     tk = k.shape[2]
     if causal and tk != t:
@@ -436,26 +584,33 @@ def mha_fwd(q, k, v, causal=False, scale=None, impl=None):
                          % (t, tk))
     if scale is None:
         scale = 1.0 / np.sqrt(d)
+    dropout_rate = float(dropout_rate)
     impl = _resolve_impl(impl, max(t, tk))
     if impl == "pallas" and (_pick_block(t) is None
                              or _pick_block(tk) is None):
         impl = "xla"  # no lane-aligned tiling exists for these lengths
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     if impl == "xla":
-        o, lse = _fwd_xla(qf, kf, vf, scale, causal)
+        o, lse = _fwd_xla(qf, kf, vf, scale, causal,
+                          dropout=dropout_rate, seed=dropout_seed)
     else:
         o, lse = _fwd_pallas(qf, jnp.swapaxes(kf, 1, 2), vf, scale, causal,
-                             interpret=(impl == "pallas_interpret"))
+                             interpret=(impl == "pallas_interpret"),
+                             dropout=dropout_rate, seed=dropout_seed)
     return o.reshape(b, h, t, d), lse.reshape(b, h, t, 1)
 
 
-def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None):
+def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None,
+            dropout_rate=0.0, dropout_seed=None):
     """Hand-written VJP of mha_fwd (recompute scheme; see module docstring).
-    Returns (dq, dk, dv) in the operands' shapes."""
+    Returns (dq, dk, dv) in the operands' shapes. Pass the SAME
+    dropout_rate/dropout_seed as the forward — the keep mask is replayed
+    in-kernel from the hash, never stored."""
     b, h, t, d = q.shape
     tk = k.shape[2]
     if scale is None:
         scale = 1.0 / np.sqrt(d)
+    dropout_rate = float(dropout_rate)
     impl = _resolve_impl(impl, max(t, tk))
     if impl == "pallas" and (_pick_block(t) is None
                              or _pick_block(tk) is None):
@@ -466,7 +621,8 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None):
     delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
                     axis=2, keepdims=True)
     if impl == "xla":
-        dq, dk, dv = _bwd_xla(qf, kf, vf, dof, lsef, delta, scale, causal)
+        dq, dk, dv = _bwd_xla(qf, kf, vf, dof, lsef, delta, scale, causal,
+                              dropout=dropout_rate, seed=dropout_seed)
     else:
         kt = jnp.swapaxes(kf, 1, 2)
         vt = jnp.swapaxes(vf, 1, 2)
@@ -476,6 +632,7 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None):
         delta_r = jnp.swapaxes(delta, 1, 2)    # [BH, 1, T]
         dq, dk, dv = _bwd_pallas(
             qf, kt, kf, vt, vf, qt, dot_, dof, lsef, lse_r, delta, delta_r,
-            scale, causal, interpret=(impl == "pallas_interpret"))
+            scale, causal, interpret=(impl == "pallas_interpret"),
+            dropout=dropout_rate, seed=dropout_seed)
     return (dq.reshape(b, h, t, d), dk.reshape(b, h, tk, d),
             dv.reshape(b, h, tk, d))

@@ -767,7 +767,8 @@ def dropout_(ts, rate, rng):
     return build_unary_ops_tensor(ts, grad_fn, values)
 
 
-def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None):
+def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None,
+                     dropout_rate=0.0, dropout_rng=None):
     """Fused multi-head attention as ONE tape primitive:
     out = softmax(Q K^T * scale [+ causal mask]) V, Q/K/V: [B, H, T, d].
 
@@ -778,14 +779,33 @@ def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None):
     row logsumexp once per cotangent). Replaces the 4-primitive tape chain
     (dot_/softmax_/dot_) in TransformerBlock — same numerics, no [T, T]
     HBM score tensors. No jax.grad anywhere.
+
+    ``dropout_rate`` > 0 applies attention-probability dropout INSIDE the
+    kernels: keep decisions are a counter-hash of the absolute
+    (head, query, key) index + a seed derived from ``dropout_rng``, so the
+    recompute backward replays the exact forward mask without any [T, T]
+    mask tensor existing anywhere (HBM or VMEM beyond one tile).
+    ``dropout_rng``: a jax PRNG key (traced ok) or a
+    ``("pltpu_seed", int32[, ...])`` marker like ops.dropout_.
     """
     from tinynn_autograd_tpu.ops import attention
 
     q, k, v = ts_q.data, ts_k.data, ts_v.data
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
+    seed = None
+    if dropout_rate > 0.0:
+        if isinstance(dropout_rng, tuple) and dropout_rng[0] == "pltpu_seed":
+            seed = jnp.asarray(dropout_rng[1]).astype(jnp.uint32)
+        else:
+            if dropout_rng is None:
+                from tinynn_autograd_tpu.utils import seeder
+
+                dropout_rng = seeder.next_key()
+            seed = jax.random.bits(dropout_rng, dtype=jnp.uint32)
     o, lse = attention.mha_fwd(q, k, v, causal=causal, scale=scale,
-                               impl=impl)
+                               impl=impl, dropout_rate=dropout_rate,
+                               dropout_seed=seed)
 
     cache = []  # [grad_object, (dq, dk, dv)] — strong ref + identity compare
 
@@ -793,7 +813,7 @@ def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None):
         if not cache or cache[0] is not grad:
             cache[:] = [grad, attention.mha_bwd(
                 q, k, v, o, lse, grad, causal=causal, scale=scale,
-                impl=impl)]
+                impl=impl, dropout_rate=dropout_rate, dropout_seed=seed)]
         return cache[1]
 
     def gq(grad):

@@ -3,25 +3,40 @@
 Shards the SEQUENCE across devices (params replicated): each device holds
 its queries and its K/V chunk for the local T/n rows, and the K/V chunks
 rotate around the ring via ``ppermute`` — n-1 hops per attention, the
-classic ring-attention communication topology over ICI. Because softmax is
-invariant to the COLUMN order of its row, each device accumulates score
-blocks in ring-arrival order (no reindexing collective needed) and applies
-one exact softmax over the concatenated row — numerics identical to full
-attention, with the score matrix memory cut to T^2/n per device (each
-device materializes only its own T/n query rows).
+classic ring-attention communication topology over ICI.
 
-NO separate backward schedule: ``ppermute_``'s hand VJP routes each K/V
-chunk's cotangent backward around the same ring, and the rest is the
-ordinary tape. Parameters are replicated; their per-device gradients are
-partial (computed from 1/n of the sequence rows) and get ONE psum before
-the optimizer — the same pattern as data parallelism, but sharding the
+The default mode ("ring") is BLOCKWISE ring attention
+(ops/ring_attention.py): each arriving K/V chunk is consumed by the
+flash-attention kernels and only running per-hop (o_s, lse_s) pairs are
+combined with logsumexp algebra — NO [T/n, T] score block ever
+materializes (memory O(T/n · d) per device plus one kernel tile), and the
+hand-written backward re-walks the ring with the flash recompute scheme,
+routing dK/dV cotangents back over a reverse ppermute ring. Numerics are
+exactly the one global softmax. "ring_exact" keeps the original
+concatenated-scores formulation ([T/n, T] per device, one softmax_ over
+ring-ordered columns) as the cross-check/control path.
+
+Parameters are replicated; their per-device gradients are partial
+(computed from 1/n of the sequence rows) and get ONE psum before the
+optimizer — the same pattern as data parallelism, but sharding the
 sequence instead of the batch.
 
-Causal masking is supported in both modes: the ring masks each score
-block by GLOBAL positions (the resident K chunk at ring step s belongs to
-device (idx-s) mod n), and Ulysses applies the ordinary full-length mask
-(its all_to_all output is in global order). Embedding/positional/head
-layers run replicated outside the ring region.
+Causal masking is supported in all modes: blockwise ring handles the
+diagonal chunk with the kernels' static causal path and off-diagonal
+chunks with a visibility predicate; ring_exact masks each score block by
+GLOBAL positions (the resident K chunk at ring step s belongs to device
+(idx-s) mod n); Ulysses applies the ordinary full-length mask (its
+all_to_all output is in global order). Embedding/positional/head layers
+run replicated outside the ring region.
+
+Dropout IS supported (round 5; previously rejected): per-step rng is
+folded with the step counter and — for sequence-sharded sites — the
+device's axis index, exactly like DataParallel's per-device mask
+decorrelation (parallel/data_parallel.py). Replicated sites (layers
+outside the block chain) use the UN-folded key so every device applies
+the identical mask and the replication invariant holds. The blockwise
+ring's attention-probability dropout rides the flash kernels' in-kernel
+hash masks with per-hop seeds.
 """
 
 import numpy as np
@@ -49,22 +64,27 @@ class ContextParallel:
 
     def __init__(self, model, mesh=None, n_devices=None, axis_name="ctx",
                  mode="ring"):
-        """``mode``: "ring" rotates K/V chunks over ppermute (n-1 hops,
-        T^2/n score memory per device); "ulysses" re-shards seq<->heads
-        with two all_to_all pairs so attention runs on H/n full-sequence
-        heads per device (head count must divide by the mesh)."""
+        """``mode``: "ring" (default) is BLOCKWISE ring attention — K/V
+        chunks rotate over ppermute (n-1 hops) and are consumed by the
+        flash kernels with running logsumexp combine (no [T/n, T] scores);
+        "ring_exact" keeps the concatenated-scores control path (T^2/n
+        score memory per device); "ulysses" re-shards seq<->heads with two
+        all_to_all pairs so attention runs on H/n full-sequence heads per
+        device (head count must divide by the mesh)."""
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, axis_name)
         self.axis_name = axis_name
         self.n_devices = int(self.mesh.devices.size)
-        if mode not in ("ring", "ulysses"):
-            raise ValueError("mode must be 'ring' or 'ulysses', got %r"
-                             % (mode,))
+        if mode not in ("ring", "ring_exact", "ulysses"):
+            raise ValueError(
+                "mode must be 'ring', 'ring_exact' or 'ulysses', got %r"
+                % (mode,))
         self.mode = mode
         self._params = None
         self._opt_state = None
         self._step_fn = None
+        self._base_key = None
 
     @property
     def net(self):
@@ -72,10 +92,6 @@ class ContextParallel:
 
     def _validate(self):
         for layer in self.net.layers:
-            if hasattr(layer, "set_rng"):
-                raise ValueError(
-                    "ContextParallel does not support stochastic layers; "
-                    "got %s" % layer.name)
             if (self.mode == "ulysses"
                     and isinstance(layer, TransformerBlock)
                     and layer.num_heads % self.n_devices):
@@ -85,15 +101,45 @@ class ContextParallel:
 
     # ------------------------------------------------------------- forward
 
-    def _ring_block_forward(self, layer, params, h):
+    def _block_drop_keys(self, layer, loc_rng, li):
+        """Per-block mask keys (attn-prob seed, residual, MLP) from the
+        DEVICE-folded rng — all the block's dropout sites act on
+        sequence-sharded activations, so masks must differ per device
+        (decorrelation, like DataParallel's per-shard masks)."""
+        drop = (layer.is_training and loc_rng is not None
+                and (layer.dropout > 0.0 or layer.attn_dropout > 0.0))
+        if not drop:
+            return None
+        return jax.random.split(jax.random.fold_in(loc_rng, li), 3)
+
+    def _residual_mlp(self, layer, p, h, ctx_flat, keys):
+        """Shared tail: ctx projection (+ residual dropout), residual add,
+        MLP (+ dropout) — identical for every attention mode."""
+        attn_out = ctx_flat @ p["wo"]
+        if keys is not None and layer.dropout > 0.0:
+            attn_out = ops.dropout_(attn_out, layer.dropout, keys[1])
+        x2 = h + attn_out
+        yn = ops.layer_norm_(x2, p["g2"], p["be2"], eps=layer.eps)
+        y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+        if keys is not None and layer.dropout > 0.0:
+            y = ops.dropout_(y, layer.dropout, keys[2])
+        return x2 + y
+
+    def _ring_block_forward(self, layer, params, h, loc_rng=None, li=0):
         """One TransformerBlock on the sequence shard [B, T/n, D] with K/V
-        rotating around the ring. Replicated params as traced leaves."""
+        rotating around the ring; replicated params as traced leaves.
+
+        mode="ring": BLOCKWISE — the whole ring is the one
+        ops.ring_flash_attention_ tape primitive (flash kernels per hop,
+        running logsumexp combine; no [T/n, T] scores anywhere).
+        mode="ring_exact": the original concatenated-scores control path.
+        """
         axis = self.axis_name
         n = self.n_devices
-        ring = [(i, (i + 1) % n) for i in range(n)]
         p = {k: Tensor(v, requires_grad=True) for k, v in params.items()}
         b, tl, d = h.shape
         nh, hd = layer.num_heads, layer.head_dim
+        keys = self._block_drop_keys(layer, loc_rng, li)
 
         def split_heads(x):  # [B,Tl,D] -> [B,H,Tl,hd]
             return x.reshape((b, tl, nh, hd)).transpose((0, 2, 1, 3))
@@ -103,52 +149,64 @@ class ContextParallel:
         kj = split_heads(xn @ p["wk"])
         vj = split_heads(xn @ p["wv"])
 
-        # ring: score block against the resident K chunk, then pass K/V on.
-        # Softmax is column-order invariant, so ring-arrival order is fine
-        # as long as V blocks align with their score blocks (they do).
-        idx = jax.lax.axis_index(axis)
-        row_pos = idx * tl + jax.lax.broadcasted_iota(
-            jnp.int32, (tl, tl), 0)
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (tl, tl), 1)
-        score_blocks = []
-        v_blocks = []
-        for s in range(n):
-            block = q @ kj.transpose((0, 1, 3, 2))
-            if layer.causal:
-                # the resident K chunk at ring step s belongs to device
-                # (idx - s) mod n: mask by GLOBAL positions
-                owner = (idx - s) % n
-                col_pos = owner * tl + col_iota
-                block = block + jnp.where(col_pos <= row_pos, 0.0, -1e9)
-            score_blocks.append(block)
-            v_blocks.append(vj)
-            if s < n - 1:
-                kj = ops.ppermute_(kj, axis, ring)
-                vj = ops.ppermute_(vj, axis, ring)
-        scores = ops.concat(score_blocks, axis=-1) * (1.0 / np.sqrt(hd))
-        attn = ops.softmax_(scores, axis=-1)   # [B,H,Tl,n*Tl]
-        ctx = None
-        for s in range(n):
-            piece = attn[:, :, :, s * tl:(s + 1) * tl] @ v_blocks[s]
-            ctx = piece if ctx is None else ctx + piece
+        if self.mode == "ring":
+            attn_rate = (layer.attn_dropout
+                         if keys is not None and layer.attn_dropout > 0.0
+                         else 0.0)
+            seed = (jax.random.bits(keys[0], dtype=jnp.uint32)
+                    if attn_rate else None)
+            ctx = ops.ring_flash_attention_(
+                q, kj, vj, axis, n, causal=layer.causal,
+                scale=1.0 / np.sqrt(hd),
+                dropout_rate=attn_rate, dropout_seed=seed)
+        else:  # ring_exact: concat scores, one softmax (control path)
+            ring = [(i, (i + 1) % n) for i in range(n)]
+            # Softmax is column-order invariant, so ring-arrival order is
+            # fine as long as V blocks align with their score blocks.
+            idx = jax.lax.axis_index(axis)
+            row_pos = idx * tl + jax.lax.broadcasted_iota(
+                jnp.int32, (tl, tl), 0)
+            col_iota = jax.lax.broadcasted_iota(jnp.int32, (tl, tl), 1)
+            score_blocks = []
+            v_blocks = []
+            for s in range(n):
+                block = q @ kj.transpose((0, 1, 3, 2))
+                if layer.causal:
+                    # the resident K chunk at ring step s belongs to device
+                    # (idx - s) mod n: mask by GLOBAL positions
+                    owner = (idx - s) % n
+                    col_pos = owner * tl + col_iota
+                    block = block + jnp.where(col_pos <= row_pos, 0.0, -1e9)
+                score_blocks.append(block)
+                v_blocks.append(vj)
+                if s < n - 1:
+                    kj = ops.ppermute_(kj, axis, ring)
+                    vj = ops.ppermute_(vj, axis, ring)
+            scores = ops.concat(score_blocks, axis=-1) * (1.0 / np.sqrt(hd))
+            attn = ops.softmax_(scores, axis=-1)   # [B,H,Tl,n*Tl]
+            if keys is not None and layer.attn_dropout > 0.0:
+                attn = ops.dropout_(attn, layer.attn_dropout, keys[0])
+            ctx = None
+            for s in range(n):
+                piece = attn[:, :, :, s * tl:(s + 1) * tl] @ v_blocks[s]
+                ctx = piece if ctx is None else ctx + piece
         ctx = ctx.transpose((0, 2, 1, 3)).reshape((b, tl, d))
-        x2 = h + ctx @ p["wo"]
+        return self._residual_mlp(layer, p, h, ctx, keys), p
 
-        yn = ops.layer_norm_(x2, p["g2"], p["be2"], eps=layer.eps)
-        y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
-        return x2 + y, p
-
-    def _ulysses_block_forward(self, layer, params, h):
+    def _ulysses_block_forward(self, layer, params, h, loc_rng=None, li=0):
         """Ulysses attention on the sequence shard [B, T/n, D]: two
         all_to_all pairs re-shard q/k/v from sequence- to HEAD-sharding
         (each device attends over the FULL sequence for its H/n heads) and
         the context back. Replicated params as traced leaves; their
-        (seq/head-local, hence partial) grads are psum'd by local_step."""
+        (seq/head-local, hence partial) grads are psum'd by local_step.
+        Dropout: attention probabilities are HEAD-sharded and residual
+        sites sequence-sharded — both use device-folded keys."""
         axis = self.axis_name
         n = self.n_devices
         p = {k: Tensor(v, requires_grad=True) for k, v in params.items()}
         b, tl, d = h.shape
         nh, hd = layer.num_heads, layer.head_dim
+        keys = self._block_drop_keys(layer, loc_rng, li)
 
         def split_heads(x):  # [B,Tl,D] -> [B,H,Tl,hd]
             return x.reshape((b, tl, nh, hd)).transpose((0, 2, 1, 3))
@@ -167,16 +225,18 @@ class ContextParallel:
         if mask is not None:
             scores = scores + mask
         attn = ops.softmax_(scores, axis=-1)
+        if keys is not None and layer.attn_dropout > 0.0:
+            attn = ops.dropout_(attn, layer.attn_dropout, keys[0])
         ctx = attn @ v                                   # [B,H/n,T,hd]
         ctx = ops.all_to_all_(ctx, axis, split_axis=2, concat_axis=1)
         ctx = ctx.transpose((0, 2, 1, 3)).reshape((b, tl, d))
-        x2 = h + ctx @ p["wo"]
+        return self._residual_mlp(layer, p, h, ctx, keys), p
 
-        yn = ops.layer_norm_(x2, p["g2"], p["be2"], eps=layer.eps)
-        y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
-        return x2 + y, p
-
-    def _forward(self, params, x):
+    def _forward(self, params, x, rep_rng=None, loc_rng=None):
+        """``rep_rng``: step-folded key, IDENTICAL on every device — used
+        for stochastic layers running replicated (outside the block chain)
+        so the replication invariant holds. ``loc_rng``: additionally
+        axis-folded — used for the blocks' sequence-sharded mask sites."""
         axis = self.axis_name
         h = Tensor(x)
         tensors = []
@@ -191,14 +251,19 @@ class ContextParallel:
                     h = ops.split_axis_(h, axis, self.n_devices, axis=1)
                     seq_sharded = True
                 if self.mode == "ulysses":
-                    h, p = self._ulysses_block_forward(layer, params[li], h)
+                    h, p = self._ulysses_block_forward(
+                        layer, params[li], h, loc_rng, li)
                 else:
-                    h, p = self._ring_block_forward(layer, params[li], h)
+                    h, p = self._ring_block_forward(
+                        layer, params[li], h, loc_rng, li)
                 tensors.append(p)
                 continue
             if seq_sharded:
                 h = ops.gather_axis_(h, axis, self.n_devices, axis=1)
                 seq_sharded = False
+            if hasattr(layer, "set_rng") and rep_rng is not None:
+                # replicated site: SAME key on all devices
+                layer.set_rng(jax.random.fold_in(rep_rng, li))
             if params[li]:
                 tensors.append(bind_traced_layer(layer, params[li]))
                 h = layer.forward(h)
@@ -217,9 +282,19 @@ class ContextParallel:
         axis = self.axis_name
         block_idx = {li for li, l in enumerate(self.net.layers)
                      if isinstance(l, TransformerBlock)}
+        stochastic = any(hasattr(l, "set_rng") for l in self.net.layers)
+        base_key = self._base_key
 
         def local_step(params, opt_state, x, y):
-            pred, tensors = self._forward(params, x)
+            rep_rng = loc_rng = None
+            if stochastic:
+                # step-folded key shared by all devices (replicated mask
+                # sites) + axis-folded key for sequence-sharded sites —
+                # the DataParallel decorrelation pattern
+                rep_rng = jax.random.fold_in(base_key, opt_state["t"])
+                loc_rng = jax.random.fold_in(
+                    rep_rng, jax.lax.axis_index(axis))
+            pred, tensors = self._forward(params, x, rep_rng, loc_rng)
             loss_t = loss_fn.loss(pred, Tensor(y))
             loss_t.backward()
             grads = [
@@ -270,6 +345,10 @@ class ContextParallel:
                     self.mesh, self._specs, host))
         if self._step_fn is None:
             self.model.set_phase("TRAIN")
+            if self._base_key is None:
+                from tinynn_autograd_tpu.utils import seeder
+
+                self._base_key = seeder.next_key()
             self._step_fn = self._build()
 
         rep = NamedSharding(self.mesh, P())

@@ -94,6 +94,7 @@ class TensorParallel:
         self._opt_state = None
         self._step_fn = None
         self._layout = None          # per-Dense: "col" | "row" | "rep"
+        self._base_key = None
 
     # ----------------------------------------------------------- sharding
 
@@ -108,12 +109,6 @@ class TensorParallel:
         col / w2 row). Other layers run replicated."""
         denses = [l for l in self.net.layers if isinstance(l, Dense)]
         for layer in self.net.layers:
-            if hasattr(layer, "set_rng"):
-                # stochastic layers (dropout) would bake a constant mask
-                # into the traced step — refuse instead of training wrong
-                raise ValueError(
-                    "TensorParallel does not support stochastic layers; "
-                    "got %s" % layer.name)
             if isinstance(layer, TransformerBlock):
                 if layer.num_heads % self.n_devices:
                     raise ValueError(
@@ -208,9 +203,18 @@ class TensorParallel:
 
     # ------------------------------------------------------------ forward
 
-    def _tp_forward(self, params, x):
+    def _tp_forward(self, params, x, rep_rng=None, loc_rng=None):
         """Per-shard forward: runs INSIDE shard_map on local param shards;
-        returns the replicated logits Tensor (tape attached)."""
+        returns the replicated logits Tensor (tape attached).
+
+        Dropout rng discipline (round 5): ``rep_rng`` is identical across
+        the MODEL axis (folded with the step counter and, in hybrid mode,
+        the data-axis index) — used for mask sites whose activations are
+        replicated over the model axis, so every device applies the SAME
+        mask and replication holds. ``loc_rng`` additionally folds the
+        model-axis index — used for HEAD-sharded (attention-probability)
+        and, under Megatron-SP, SEQUENCE-sharded sites, where per-device
+        decorrelation is correct (disjoint heads / rows)."""
         axis = self.axis_name
         h = Tensor(x)
         dense_i = 0
@@ -249,20 +253,28 @@ class TensorParallel:
                     h = ops.split_axis_(h, axis, self.n_devices, axis=1)
                     seq_sharded = True
                 h, p = self._tp_block_forward(layer, params[li], h,
-                                              seq_sharded)
+                                              seq_sharded, rep_rng,
+                                              loc_rng, li)
                 tensors.append(p)
             elif params[li]:
                 # replicated-param layer: bind traced params so they train
+                if hasattr(layer, "set_rng") and rep_rng is not None:
+                    layer.set_rng(jax.random.fold_in(rep_rng, li))
                 tensors.append(bind_traced_layer(layer, params[li]))
                 h = layer.forward(h)
             else:
+                if hasattr(layer, "set_rng") and rep_rng is not None:
+                    # batch-path site replicated over the model axis:
+                    # same mask on every device
+                    layer.set_rng(jax.random.fold_in(rep_rng, li))
                 h = layer.forward(h)
                 tensors.append({})
         if seq_sharded:
             h = ops.gather_axis_(h, axis, self.n_devices, axis=1)
         return h, tensors
 
-    def _tp_block_forward(self, layer, params, h, seq_sharded=False):
+    def _tp_block_forward(self, layer, params, h, seq_sharded=False,
+                          rep_rng=None, loc_rng=None, li=0):
         """Megatron head-sharded TransformerBlock forward on local shards:
         attention runs on H/n local heads with NO communication, wo/w2 are
         row-parallel. Two layouts:
@@ -275,7 +287,13 @@ class TensorParallel:
           reduce-scatter (VJP = all-gather) — same wire bytes as the psum,
           1/n the norm/residual compute and activation memory.
 
-        Numerics == the replicated block either way."""
+        Numerics == the replicated block either way.
+
+        Dropout sites: attention probabilities are HEAD-sharded — masks use
+        the model-axis-folded key (decorrelated per device, heads are
+        disjoint); residual/MLP sites act on the post-fan_in activations,
+        which are REPLICATED under plain TP (shared rep key — replication
+        must hold) and sequence-sharded under SP (device-folded key)."""
         axis = self.axis_name
         n = self.n_devices
         p = {k: Tensor(v, requires_grad=True) for k, v in params.items()}
@@ -283,6 +301,15 @@ class TensorParallel:
         t = t_loc * n if seq_sharded else t_loc
         h_loc = layer.num_heads // n
         hd = layer.head_dim
+        drop = (layer.is_training and loc_rng is not None
+                and (layer.dropout > 0.0 or layer.attn_dropout > 0.0))
+        if drop:
+            k_attn = jax.random.fold_in(loc_rng, 2 * li)
+            res_src = loc_rng if seq_sharded else rep_rng
+            k_res1, k_res2 = jax.random.split(
+                jax.random.fold_in(res_src, 2 * li + 1))
+        else:
+            k_attn = k_res1 = k_res2 = None
 
         def split_heads(x):  # [B,T,D/n] -> [B,H/n,T,hd]
             return x.reshape((b, t, h_loc, hd)).transpose((0, 2, 1, 3))
@@ -307,13 +334,21 @@ class TensorParallel:
         if mask is not None:
             scores = scores + mask
         attn = ops.softmax_(scores, axis=-1)
+        if drop and layer.attn_dropout > 0.0:
+            attn = ops.dropout_(attn, layer.attn_dropout, k_attn)
         ctx = (attn @ v).transpose((0, 2, 1, 3)).reshape((b, t, d // n))
-        x2 = h + fan_in(ctx @ p["wo"])
+        attn_out = fan_in(ctx @ p["wo"])
+        if drop and layer.dropout > 0.0:
+            attn_out = ops.dropout_(attn_out, layer.dropout, k_res1)
+        x2 = h + attn_out
 
         yn = ops.layer_norm_(x2, p["g2"], p["be2"], eps=layer.eps)
         yf = fan_out(yn)
         y = ops.gelu_(yf @ p["w1"] + p["b1"]) @ p["w2"]
-        out = x2 + fan_in(y) + p["b2"]
+        mlp_out = fan_in(y) + p["b2"]
+        if drop and layer.dropout > 0.0:
+            mlp_out = ops.dropout_(mlp_out, layer.dropout, k_res2)
+        out = x2 + mlp_out
         return out, p
 
     # -------------------------------------------------------------- build
@@ -328,9 +363,21 @@ class TensorParallel:
         in_param_specs = [
             {k: s for k, s in layer.items()} for layer in specs
         ]
+        stochastic = any(hasattr(l, "set_rng") for l in self.net.layers)
+        base_key = self._base_key
 
         def local_step(params, opt_state, x, y):
-            pred, tensors = self._tp_forward(params, x)
+            rep_rng = loc_rng = None
+            if stochastic:
+                rep_rng = jax.random.fold_in(base_key, opt_state["t"])
+                if data_axis is not None:
+                    # hybrid: batch rows differ per data shard — masks
+                    # must too (DataParallel's decorrelation)
+                    rep_rng = jax.random.fold_in(
+                        rep_rng, jax.lax.axis_index(data_axis))
+                loc_rng = jax.random.fold_in(
+                    rep_rng, jax.lax.axis_index(axis))
+            pred, tensors = self._tp_forward(params, x, rep_rng, loc_rng)
             loss_t = loss_fn.loss(pred, Tensor(y))
             loss_t.backward()
             grads = [
@@ -394,6 +441,10 @@ class TensorParallel:
                     self.mesh, self._specs, host))
         if self._step_fn is None:
             self.model.set_phase("TRAIN")
+            if self._base_key is None:
+                from tinynn_autograd_tpu.utils import seeder
+
+                self._base_key = seeder.next_key()
             self._step_fn = self._build()
 
         batch_spec = P(self.data_axis) if self.data_axis else P()

@@ -37,22 +37,25 @@ def file_sha256(path, chunk=1 << 20):
     return h.hexdigest()
 
 
-def _validate_mnist(train, valid, test, path):
+def _validate_mnist(train, valid, test, path, strict_sizes=True):
     """Structural integrity check of the mnielsen pickle: the right splits,
     shapes, dtypes-coercible arrays, and [0, 1] pixel range — so a corrupt
-    or wrong file fails loudly instead of producing a bogus 'real' number."""
+    or wrong file fails loudly instead of producing a bogus 'real' number.
+    ``strict_sizes=False`` skips the exact 50k/10k/10k split-size check
+    (test fixtures fabricate miniature files in the same format)."""
     specs = [("train", train, 50000), ("valid", valid, 10000),
              ("test", test, 10000)]
     for name, (xs, ys), n in specs:
         xs, ys = np.asarray(xs), np.asarray(ys)
-        if xs.shape != (n, 784):
+        want_n = n if strict_sizes else xs.shape[0]
+        if xs.shape != (want_n, 784) or (strict_sizes and xs.shape[0] != n):
             raise ValueError(
                 "%s: %s split has images %s, expected (%d, 784)"
-                % (path, name, xs.shape, n))
-        if ys.shape != (n,):
+                % (path, name, xs.shape, want_n))
+        if ys.shape != (xs.shape[0],):
             raise ValueError(
                 "%s: %s split has labels %s, expected (%d,)"
-                % (path, name, ys.shape, n))
+                % (path, name, ys.shape, xs.shape[0]))
         if not (0.0 <= float(xs.min()) and float(xs.max()) <= 1.0):
             raise ValueError(
                 "%s: %s split pixel range [%g, %g] outside [0, 1]"
@@ -86,7 +89,8 @@ def synthetic_mnist(n_train=50000, n_test=10000, num_classes=10, dim=784,
     return make(n_train, seed + 1), make(n_test, seed + 2)
 
 
-def load_mnist(data_dir="./data", allow_synthetic=True, sha256=None):
+def load_mnist(data_dir="./data", allow_synthetic=True, sha256=None,
+               strict_sizes=True):
     """Returns ((train_x, train_y), (test_x, test_y)); x float32 [n, 784] in
     [0, 1], y int64 class indices. Real MNIST when available (downloaded or
     pre-placed mnist.pkl.gz in data_dir), synthetic otherwise.
@@ -117,7 +121,7 @@ def load_mnist(data_dir="./data", allow_synthetic=True, sha256=None):
                 % (path, actual, expected))
     with gzip.open(path, "rb") as f:
         train, valid, test = pickle.load(f, encoding="latin1")
-    _validate_mnist(train, valid, test, path)
+    _validate_mnist(train, valid, test, path, strict_sizes=strict_sizes)
     # fold validation into train like the reference's 50k/10k usage
     train_x = np.concatenate([train[0], valid[0]]).astype(np.float32)
     train_y = np.concatenate([train[1], valid[1]]).astype(np.int64)
