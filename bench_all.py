@@ -98,15 +98,19 @@ def _adam_tree(lr):
     return adam
 
 
-def _oracle_run_rates(params, loss_fn, x_all, y_all, batch, n_epochs, lr):
+def _oracle_run_rates(params, loss_fn, x_all, y_all, batch, n_epochs, lr,
+                      stochastic=False):
     """Shared oracle runner: jax.grad step + Adam, same on-device shuffle /
-    scan / one-dispatch amortization as Model.train_epochs."""
+    scan / one-dispatch amortization as Model.train_epochs. With
+    ``stochastic=True``, loss_fn takes a per-step PRNG key (dropout
+    oracles) folded from the step counter, mirroring the framework."""
     import jax
     import jax.numpy as jnp
 
     adam = _adam_tree(lr)
     n = x_all.shape[0]
     n_steps = n // batch
+    drop_base = jax.random.PRNGKey(17)
 
     def runner(p, slots, t, xs, ys, rng):
         def epoch(carry, ekey):
@@ -117,7 +121,11 @@ def _oracle_run_rates(params, loss_fn, x_all, y_all, batch, n_epochs, lr):
 
             def body(carry, b):
                 p, slots, t = carry
-                l, g = jax.value_and_grad(loss_fn)(p, b[0], b[1])
+                if stochastic:
+                    skey = jax.random.fold_in(drop_base, t)
+                    l, g = jax.value_and_grad(loss_fn)(p, b[0], b[1], skey)
+                else:
+                    l, g = jax.value_and_grad(loss_fn)(p, b[0], b[1])
                 t = t + 1
                 p, slots = adam(p, slots, t, g)
                 return (p, slots, t), l
@@ -191,13 +199,17 @@ def _cnn_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
                              n_epochs, lr)
 
 
-def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
+def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr,
+                              dropout=0.0, attn_dropout=0.0):
     """EXTERNAL floor oracle for the transformer config: a hand-written
     pure-JAX (jax.grad) training step of the SAME model — weights copied
     from the net, same shuffle/scan/one-dispatch amortization, same Adam
     rule — measured on this chip. The framework itself never uses
     jax.grad; this exists only to locate the XLA-kernel-granularity wall
-    (the same methodology as the CNN floor, BENCHMARKS.md)."""
+    (the same methodology as the CNN floor, BENCHMARKS.md).
+    ``dropout``/``attn_dropout``: standard jax.random.bernoulli masks at
+    the same sites/rates as TransformerBlock (different mask streams, same
+    distribution and FLOPs — the fair dropout-regime oracle)."""
     import jax
     import jax.numpy as jnp
 
@@ -237,12 +249,21 @@ def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
     causal = any(getattr(l, "causal", False)
                  for l in net.layers
                  if isinstance(l, TransformerBlock))
+    stochastic = dropout > 0.0 or attn_dropout > 0.0
 
-    def fwd(p, ids):
+    def fwd(p, ids, key=None):
         h = p["emb"][ids] + p["pos"]
         bsz, t, d = h.shape
         hd = d // heads
-        for bp in p["blocks"]:
+
+        def drop(x, rate, k):
+            keep = jax.random.bernoulli(k, 1.0 - rate, x.shape)
+            return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+        for bi, bp in enumerate(p["blocks"]):
+            if stochastic:
+                k0, k1, k2 = jax.random.split(
+                    jax.random.fold_in(key, bi), 3)
             xn = ln(h, bp["g1"], bp["be1"])
             def sh(x):
                 return x.reshape(bsz, t, heads, hd).transpose(0, 2, 1, 3)
@@ -253,20 +274,28 @@ def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
                     jnp.asarray(np.tril(np.ones((t, t), np.float32))) == 1.0,
                     0.0, -1e9)
             att = jax.nn.softmax(s, axis=-1)
+            if attn_dropout > 0.0:
+                att = drop(att, attn_dropout, k0)
             ctx = (att @ v).transpose(0, 2, 1, 3).reshape(bsz, t, d)
-            h = h + ctx @ bp["wo"]
+            attn_out = ctx @ bp["wo"]
+            if dropout > 0.0:
+                attn_out = drop(attn_out, dropout, k1)
+            h = h + attn_out
             yn = ln(h, bp["g2"], bp["be2"])
-            h = h + gelu(yn @ bp["w1"] + bp["b1"]) @ bp["w2"] + bp["b2"]
+            mlp = gelu(yn @ bp["w1"] + bp["b1"]) @ bp["w2"] + bp["b2"]
+            if dropout > 0.0:
+                mlp = drop(mlp, dropout, k2)
+            h = h + mlp
         pooled = h.mean(axis=1)
         return pooled @ p["head"]["w"] + p["head"]["b"]
 
-    def loss_fn(p, ids, y):
-        logits = fwd(p, ids)
+    def loss_fn(p, ids, y, key=None):
+        logits = fwd(p, ids, key)
         logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
         return -((logits - logz) * y).sum(-1).mean()
 
     return _oracle_run_rates(params, loss_fn, x_all, y_all, batch,
-                             n_epochs, lr)
+                             n_epochs, lr, stochastic=stochastic)
 
 
 def bench_transformer():
@@ -337,6 +366,45 @@ def bench_transformer_long():
     emit("transformer_seq2048_causal_train_steps_per_sec", rates,
          floor_us=round(floor_us, 1))
     emit("transformer_seq2048_causal_jaxgrad_oracle_steps_per_sec",
+         oracle_rates)
+
+
+def bench_transformer_long_dropout():
+    """Config 6c (VERDICT r4 item 1 'done' criterion): config 6b WITH
+    dropout — residual 0.1 + attention-probability 0.1 — against a
+    jax.grad oracle running standard bernoulli-mask dropout at the same
+    sites/rates. The framework's attention dropout is the in-kernel
+    hash-mask replay inside the flash kernels (no [T, T] mask or score
+    tensors); the oracle materializes both. Target: keep >=2x oracle."""
+    from tinynn_autograd_tpu.models import build_tiny_transformer
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn import optimizer as opt
+    from tinynn_autograd_tpu.utils.datasets import one_hot
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    vocab, seq, dim, heads, depth, nout = 256, 2048, 512, 8, 2, 16
+    batch, n_epochs, n_train = 4, 4, 256
+    rng = np.random.RandomState(0)
+    tx = rng.randint(0, vocab, (n_train, seq))
+    ty = one_hot(rng.randint(0, nout, n_train), nout)
+
+    random_seed(0)
+    net = build_tiny_transformer(vocab=vocab, seq_len=seq, dim=dim,
+                                 heads=heads, depth=depth, num_out=nout,
+                                 causal=True, dropout=0.1,
+                                 attn_dropout=0.1)
+    m = Model(net, SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
+    x_dev, y_dev = m.stage(tx, ty)
+    rates = _time_epochs(m, x_dev, y_dev, batch, n_epochs, n_train // batch)
+
+    oracle_rates = _transformer_oracle_rates(net, tx, ty, batch, n_epochs,
+                                             lr=1e-3, dropout=0.1,
+                                             attn_dropout=0.1)
+    floor_us = 1e6 / statistics.median(oracle_rates)
+    emit("transformer_seq2048_causal_dropout_train_steps_per_sec", rates,
+         floor_us=round(floor_us, 1))
+    emit("transformer_seq2048_causal_dropout_jaxgrad_oracle_steps_per_sec",
          oracle_rates)
 
 
@@ -489,6 +557,10 @@ def main():
 
     # 6b. long-context transformer (flash-attention regime)
     bench_transformer_long()
+
+    # 6c. long-context WITH dropout (in-kernel hash-mask replay vs a
+    # bernoulli-mask jax.grad oracle)
+    bench_transformer_long_dropout()
 
     # 7. north-star time-to-accuracy (BASELINE.json): seconds/epochs to
     # 97.5% test acc, post-compile, real MNIST when data/mnist.pkl.gz

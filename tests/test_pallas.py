@@ -49,3 +49,24 @@ def test_dispatch_falls_back_off_tpu():
     a = jnp.ones((256, 256), jnp.float32)
     out = kernels.matmul(a, a)
     np.testing.assert_allclose(np.asarray(out), np.full((256, 256), 256.0))
+
+
+def test_block_kernel_interpret_matches_tape_forward():
+    """Fused transformer-block forward kernel (probe, ops/block_kernel.py)
+    == the tape block's forward, interpret mode."""
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.core.tensor import Tensor
+    from tinynn_autograd_tpu.nn.layers import TransformerBlock
+    from tinynn_autograd_tpu.ops import block_kernel
+
+    for causal in (False, True):
+        blk = TransformerBlock(dim=32, num_heads=4, causal=causal, seed=9)
+        params = {k: v.data for k, v in blk.params.items()}
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(8, 16, 32).astype(np.float32) * 0.5)
+        ref = np.asarray(blk.forward(Tensor(x)).data)
+        got = np.asarray(block_kernel.block_fwd_pallas(
+            x, params, heads=4, causal=causal, batch_block=2,
+            interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)

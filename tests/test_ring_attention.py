@@ -127,3 +127,40 @@ def test_ring_mode_hlo_has_no_concat_score_block():
         " — update this test's shape probe")
     assert not score_block.search(texts["ring"]), (
         "blockwise ring lowered a [T/n, T] score block")
+
+
+def test_ring_primitive_causal_dropout_finite():
+    """Causal visibility predicate x per-hop dropout masks compose: output
+    and all gradients stay finite, and the diagonal-chunk causal path
+    (s=0, static causal=True into the kernels) accepts the hop seed."""
+    n = 4
+    q, k, v, w = _qkvw(t=16, seed=5)
+    mesh = make_mesh(n, axis_name="ctx")
+    spec = P(None, None, "ctx", None)
+
+    def local(qc, kc, vc, wc):
+        tq = Tensor(qc, requires_grad=True)
+        tk = Tensor(kc, requires_grad=True)
+        tv = Tensor(vc, requires_grad=True)
+        out = ops.ring_flash_attention_(
+            tq, tk, tv, "ctx", n, causal=True, dropout_rate=0.3,
+            dropout_seed=jnp.uint32(99))
+        out.backward(Tensor(wc))
+        return out.data, tq.grad, tk.grad, tv.grad
+
+    sharded = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 4, out_specs=(spec,) * 4,
+        check_vma=False))
+    outs = sharded(*(jnp.asarray(a) for a in (q, k, v, w)))
+    for a, name in zip(outs, ("o", "dq", "dk", "dv")):
+        assert np.all(np.isfinite(np.asarray(a))), name
+    # and it differs from the rate=0 run (dropout actually engaged)
+    def local0(qc, kc, vc, wc):
+        out = ops.ring_flash_attention_(
+            Tensor(qc), Tensor(kc), Tensor(vc), "ctx", n, causal=True)
+        return out.data
+
+    o0 = jax.jit(jax.shard_map(
+        local0, mesh=mesh, in_specs=(spec,) * 4, out_specs=spec,
+        check_vma=False))(*(jnp.asarray(a) for a in (q, k, v, w)))
+    assert not np.allclose(np.asarray(outs[0]), np.asarray(o0))
