@@ -44,7 +44,9 @@ def main():
         # (B, T, D, heads, causal, batch_blocks to sweep)
         (32, 128, 256, 8, False, (2, 4, 8)),
         (32, 128, 256, 8, True, (2, 4, 8)),
-        (8, 512, 256, 8, True, (1, 2)),
+        # t=512: g=2 exceeds the 16M scoped-VMEM stack (measured 16.82M —
+        # the 8 unrolled per-head [G,T,T] score/prob tiles dominate)
+        (8, 512, 256, 8, True, (1,)),
     ]
     results = []
     for (b, t, d, heads, causal, gs) in configs:
@@ -60,13 +62,28 @@ def main():
         def xla_fwd(xin):
             return blk.forward(Tensor(xin)).data
 
-        # parity gate (kernel vs the tape block's XLA forward)
-        ref = np.asarray(jax.jit(xla_fwd)(x))
+        # Hardware numerics gate (kernel vs the tape block's XLA forward).
+        # Bit parity lives in the suite (tests/test_pallas.py interpret
+        # mode); on-chip, XLA's DEFAULT f32 matmuls use bf16 passes while
+        # the kernel accumulates f32, so compare against a HIGHEST-precision
+        # reference and admit bf16-pass-scale drift across the 6-matmul
+        # chain (round-5 measured: 8.1e-3 vs the default-precision ref).
+        with jax.default_matmul_precision("highest"):
+            ref = np.asarray(jax.jit(xla_fwd)(x))
+        errs = {}
+        ok_gs = []
         for g in gs:
-            got = np.asarray(block_kernel.block_fwd_pallas(
-                x, params, heads, causal=causal, batch_block=g))
+            try:
+                got = np.asarray(block_kernel.block_fwd_pallas(
+                    x, params, heads, causal=causal, batch_block=g))
+            except Exception as e:  # VMEM stack OOM etc.: record + skip
+                errs["g%d" % g] = "failed: %s" % type(e).__name__
+                continue
             err = float(np.max(np.abs(got - ref)))
-            assert err < 5e-3, (tag, g, err)
+            errs["g%d" % g] = round(err, 6)
+            assert err < 2e-2, (tag, g, err)
+            ok_gs.append(g)
+        gs = ok_gs
 
         def timed(fn):
             float(jnp.sum(fn(x)))
@@ -84,7 +101,7 @@ def main():
                 return jax.lax.scan(body, x0, None, length=iters)[0]
             return jax.jit(run)
 
-        row = {"shape": tag, "iters": iters}
+        row = {"shape": tag, "iters": iters, "max_err_vs_highest": errs}
         row["xla_us"] = round(timed(loop(xla_fwd)), 2)
         best_g, best_us = None, float("inf")
         for g in gs:
@@ -93,9 +110,12 @@ def main():
             row["pallas_g%d_us" % g] = round(us, 2)
             if us < best_us:
                 best_g, best_us = g, us
-        row["pallas_best_us"] = round(best_us, 2)
-        row["pallas_best_g"] = best_g
-        row["pallas_vs_xla"] = round(row["xla_us"] / best_us, 3)
+        if best_g is not None:
+            row["pallas_best_us"] = round(best_us, 2)
+            row["pallas_best_g"] = best_g
+            row["pallas_vs_xla"] = round(row["xla_us"] / best_us, 3)
+        else:
+            row["pallas"] = "no batch_block fits scoped VMEM"
         results.append(row)
         print(json.dumps(row), flush=True)
 

@@ -148,3 +148,24 @@ def test_load_mnist_structural_corruption_raises(tmp_path):
     _fake_mnist_pickle(d, corrupt=True)
     with pytest.raises(ValueError, match="test split has images"):
         load_mnist(data_dir=d)
+
+
+def test_attention_dispatch_single_kernel_crossover(monkeypatch):
+    """Round-5 ATTN_SHORT_PROBE dispatch rule: on TPU, auto picks Pallas at
+    t >= 1024 (gridded regime) OR t >= 512 when the whole [T, T] tile is
+    one block (_pick_block(t) == t, the single-grid-step kernel); XLA
+    everywhere else (t <= 256 measured losses; 512 < t < 1024 non-single
+    shapes stay on the round-4 crossover)."""
+    from tinynn_autograd_tpu.ops import attention, kernels
+
+    monkeypatch.setattr(kernels, "_default_backend", lambda: "tpu")
+    monkeypatch.delenv("TINYNN_TPU_ATTN_IMPL", raising=False)
+    monkeypatch.delenv("TINYNN_TPU_DISABLE_PALLAS", raising=False)
+    assert attention._resolve_impl(None, 128) == "xla"
+    assert attention._resolve_impl(None, 256) == "xla"
+    assert attention._resolve_impl(None, 512) == "pallas"   # single regime
+    assert attention._resolve_impl(None, 640) == "xla"      # gridded, <1024
+    assert attention._resolve_impl(None, 520) == "xla"      # untileable
+    assert attention._resolve_impl(None, 1024) == "pallas"
+    monkeypatch.setattr(kernels, "_default_backend", lambda: "cpu")
+    assert attention._resolve_impl(None, 512) == "xla"

@@ -540,12 +540,21 @@ def _bwd_xla(q, k, v, do, lse, delta, scale, causal, dropout=0.0,
 
 # ---------------------------------------------------------------- dispatch
 
-# Measured crossover (v5e, causal d=64, honest 5000-iter dispatches): XLA's
-# fused attention wins while [T, T] scores fit its VMEM working set (t=512:
-# 73 vs 228 us fwd); the flash kernels win once XLA must round-trip scores
-# through HBM — t=1024: fwd 740 vs 1253 us (1.7x), t=4096: fwd 2805 vs
-# 4864, fwd+bwd 9400 vs 10398. Auto-dispatch routes accordingly.
+# Measured crossovers (v5e, honest 1000s-iter chained dispatches):
+# - Gridded flash kernels: XLA wins while [T, T] scores fit its VMEM
+#   working set; the kernels win once XLA round-trips scores through HBM —
+#   t=1024: fwd 740 vs 1253 us (1.7x), t=4096: fwd 2805 vs 4864, fwd+bwd
+#   9400 vs 10398 (round 4, causal d=64).
+# - Single-grid-step kernel (whole [T, T] tile resident, no online-softmax
+#   scratch; engages when _pick_block(t) == t): round-5 ATTN_SHORT_PROBE —
+#   t=512 d=64 causal fwd 128 vs 578 us (4.5x), fwd+bwd 984 vs 1531
+#   (1.56x); still loses at t<=256 (fwd 0.55-0.86x, fwd+bwd 0.34-0.36x:
+#   grid-step overhead is gone but per-dispatch kernel cost still
+#   dominates XLA's fused short-T attention). Auto-dispatch: Pallas at
+#   t >= 1024 (gridded) or t >= 512 in the single-kernel regime.
 _PALLAS_MIN_T = int(os.environ.get("TINYNN_TPU_ATTN_MIN_T", "1024"))
+_PALLAS_MIN_T_SINGLE = int(os.environ.get(
+    "TINYNN_TPU_ATTN_MIN_T_SINGLE", "512"))
 
 
 def _resolve_impl(impl, t):
@@ -556,7 +565,9 @@ def _resolve_impl(impl, t):
     # auto: Pallas on TPU above the measured crossover, tileable length
     if (kernels._default_backend() == "tpu"
             and not os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
-            and t >= _PALLAS_MIN_T and _pick_block(t) is not None):
+            and _pick_block(t) is not None
+            and (t >= _PALLAS_MIN_T
+                 or (t >= _PALLAS_MIN_T_SINGLE and _pick_block(t) == t))):
         return "pallas"
     return "xla"
 
