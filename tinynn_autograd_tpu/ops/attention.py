@@ -299,6 +299,115 @@ def _seed_arr(seed):
 
 # -------------------------------------------------------------- backward
 
+def _bwd_kernel_single(seed_ref, q_ref, kt_ref, k_ref, vt_ref, v_ref,
+                       qt_ref, dot_ref, do_ref, lse_ref, lse_r_ref,
+                       delta_ref, delta_r_ref, dq_ref, dk_ref, dv_ref, *,
+                       scale, causal, bq, bk, g, tq, tk, dropout):
+    """Short-T backward specialization (round 5): when the whole [T, T]
+    plane is one block, dq/dk/dv fuse into ONE kernel with no scratch
+    accumulators or @pl.when machinery. Both score orientations are
+    recomputed natively (s = Q K^T for dq; s^T = K Q^T for dk/dv) — two
+    extra [T,T]x[T,d] matmuls instead of in-kernel [T,T] relayouts,
+    keeping every dot in MXU-native form (the module's layout
+    discipline). Dropout replays the same absolute-index hash as the
+    forward — q_axis=2 on the transposed side."""
+    b = pl.program_id(0)
+    q = q_ref[...]
+    k = k_ref[...]
+    inv = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+    thresh = _keep_thresh(dropout) if dropout > 0.0 else None
+
+    # --- normal orientation (queries on sublanes): ds -> dq
+    s = _bdot(q, kt_ref[...]) * scale                  # [G, T, T]
+    if causal:
+        rows, cols = _causal_mask(0, 0, g, bq, bk)
+        s = jnp.where(rows >= cols, s, _NEG_INF)
+    p = jnp.exp(s - lse_ref[...])
+    dp = _bdot(do_ref[...], vt_ref[...])               # [G, T, T]
+    if dropout > 0.0:
+        keep = _tile_keep_mask(seed_ref[0, 0], b * g, 0, 0, g, bq, bk,
+                               tq, tk, thresh)
+        dp = jnp.where(keep, dp, 0.0) * inv
+    ds = (p * (dp - delta_ref[...]) * scale).astype(q.dtype)
+    dq_ref[...] = _bdot(ds, k).astype(dq_ref.dtype)
+
+    # --- transposed orientation (keys on sublanes): dv, dk
+    st = _bdot(k, qt_ref[...]) * scale                 # [G, T, T]
+    if causal:
+        rows, cols = _causal_mask(0, 0, g, bk, bq)
+        # rows are KEY indices, cols QUERY indices: valid when q >= k
+        st = jnp.where(cols >= rows, st, _NEG_INF)
+    pt = jnp.exp(st - lse_r_ref[...])
+    dpt = _bdot(v_ref[...], dot_ref[...])              # [G, T, T]
+    if dropout > 0.0:
+        keep_t = _tile_keep_mask(seed_ref[0, 0], b * g, 0, 0, g, bk, bq,
+                                 tq, tk, thresh, q_axis=2)
+        ptd = jnp.where(keep_t, pt, 0.0) * inv
+        dpt = jnp.where(keep_t, dpt, 0.0) * inv
+    else:
+        ptd = pt
+    dv_ref[...] = _bdot(ptd.astype(k.dtype), do_ref[...]).astype(
+        dv_ref.dtype)
+    dst = (pt * (dpt - delta_r_ref[...]) * scale).astype(k.dtype)
+    dk_ref[...] = _bdot(dst, q).astype(dk_ref.dtype)
+
+
+def _bwd_pallas_single(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
+                       delta_r, scale, causal, interpret, dropout=0.0,
+                       seed=None):
+    """pallas_call wrapper for _bwd_kernel_single: ONE kernel, grid only
+    over head batches, every operand a single whole-[T] block. The live
+    working set per head is ~8 [T, d] streams plus up to 4 [T, T] f32
+    score planes, so G is sized with the score planes dominating (the
+    shared _pick_head_batch formula assumes 2 planes; approximate the
+    extra pair as 2 more lane-padded streams of T columns)."""
+    bh, tq, d = q.shape
+    tk = v.shape[1]
+    bq, bk = tq, tk
+    extra = 2 * max(bq, bk) // max(d, 128) + 2
+    g = _pick_head_batch(bh, bq, bk, d, n_streams=9 + extra)
+    seed_arr = _seed_arr(seed)
+
+    def blk(shape):
+        return pl.BlockSpec(shape, lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g,
+                  tq=tq, tk=tk, dropout=dropout)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_single, **params),
+        grid=(bh // g,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            blk((g, bq, d)),    # q
+            blk((g, d, bk)),    # kt
+            blk((g, bk, d)),    # k
+            blk((g, d, bk)),    # vt
+            blk((g, bk, d)),    # v
+            blk((g, d, bq)),    # qt
+            blk((g, d, bq)),    # doT
+            blk((g, bq, d)),    # do
+            blk((g, bq, 1)),    # lse
+            blk((g, 1, bq)),    # lse_row
+            blk((g, bq, 1)),    # delta
+            blk((g, 1, bq)),    # delta_row
+        ],
+        out_shape=[jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, tk, d), q.dtype)],
+        out_specs=[blk((g, bq, d)), blk((g, bk, d)), blk((g, bk, d))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * bh * tq * tk * d,
+            bytes_accessed=11 * bh * (tq + tk) * d * 4,
+            transcendentals=2 * bh * tq * tk),
+        interpret=interpret,
+    )(seed_arr, q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r)
+    return dq, dk, dv
+
+
 def _dq_kernel(seed_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref,
                delta_ref, dq_ref, dq_acc, *, scale, causal, bq, bk, g,
                tq, tk, dropout):
@@ -381,8 +490,12 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
     bh, tq, d = q.shape
     tk = v.shape[1]
     bq, bk = _pick_block(tq), _pick_block(tk)
-    g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
     nq, nk = tq // bq, tk // bk
+    if nq == 1 and nk == 1:
+        return _bwd_pallas_single(
+            q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
+            scale, causal, interpret, dropout, seed)
+    g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
     seed_arr = _seed_arr(seed)
 
     # causal DMA skip (see _fwd_pallas): in the dq kernel tiles with j > i

@@ -123,6 +123,66 @@ def check_megakernel_dropout_e2e(results):
     results["megakernel_dropout_changes_training"] = True
 
 
+def check_flash_dropout_hw(results):
+    """Round-5 check: flash-attention in-kernel dropout on the real chip.
+
+    The keep mask is a counter hash of the absolute (head, q, k) index
+    (ops/attention.py _tile_keep_mask) that the Pallas kernels and the XLA
+    fallback regenerate INDEPENDENTLY — so same-seed Pallas-vs-XLA parity
+    on hardware proves the in-kernel replay (fwd and both bwd kernels,
+    incl. the dk/dv kernel's transposed orientation) drops exactly the
+    same cells the fallback does. Covers both kernel regimes: gridded
+    (t=1024) and single-grid-step (t=512)."""
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.ops import attention
+
+    rng = np.random.RandomState(0)
+    rate, seed = 0.15, 7
+    for (b, h, t, d) in ((2, 4, 1024, 64), (4, 4, 512, 64)):
+        tag = "b%dh%dt%dd%d" % (b, h, t, d)
+        q, k, v, do = (jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+                       for _ in range(4))
+        tol = 2e-3 * np.sqrt(t / 128.0)
+
+        def fwd(impl, r=rate, s=seed):
+            return attention.mha_fwd(q, k, v, causal=True, impl=impl,
+                                     dropout_rate=r, dropout_seed=s)
+
+        o_p, lse_p = fwd("pallas")
+        o_x, lse_x = fwd("xla")
+        fwd_err = float(jnp.max(jnp.abs(o_p - o_x)))
+        assert fwd_err < tol, (tag, fwd_err)
+
+        g_p = attention.mha_bwd(q, k, v, o_p, lse_p, do, causal=True,
+                                impl="pallas", dropout_rate=rate,
+                                dropout_seed=seed)
+        g_x = attention.mha_bwd(q, k, v, o_x, lse_x, do, causal=True,
+                                impl="xla", dropout_rate=rate,
+                                dropout_seed=seed)
+        bwd_errs = [float(jnp.max(jnp.abs(a - b_))) for a, b_ in
+                    zip(g_p, g_x)]
+        # grads are O(sqrt(t)) bigger than activations; scale the gate
+        gscale = max(float(jnp.max(jnp.abs(g))) for g in g_x)
+        assert max(bwd_errs) < 5 * tol * max(1.0, gscale), (tag, bwd_errs)
+
+        o_p0, _ = fwd("pallas", r=0.0)
+        effect = float(jnp.max(jnp.abs(o_p - o_p0)))
+        assert effect > 1e-2, (tag, effect)      # masks actually applied
+        o_p2, _ = fwd("pallas", s=seed + 1)
+        seed_div = float(jnp.max(jnp.abs(o_p - o_p2)))
+        assert seed_div > 1e-2, (tag, seed_div)  # seed changes the masks
+
+        results["flash_dropout_" + tag] = {
+            "fwd_err_vs_xla_same_seed": round(fwd_err, 6),
+            "bwd_err_vs_xla_same_seed": [round(e, 6) for e in bwd_errs],
+            "dropout_effect": round(effect, 4),
+            "seed_divergence": round(seed_div, 4),
+        }
+        print("flash dropout %s: fwd err %.2e, bwd errs %s (replay ok)"
+              % (tag, fwd_err, ["%.2e" % e for e in bwd_errs]))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--round", type=int, default=3)
@@ -135,6 +195,7 @@ def main():
                "device": str(jax.devices()[0])}
     check_pltpu_dropout_stats(results)
     check_megakernel_dropout_e2e(results)
+    check_flash_dropout_hw(results)
 
     out = args.out or "TPUCHECK_r%02d.json" % args.round
     with open(out, "w") as f:
