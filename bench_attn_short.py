@@ -114,11 +114,27 @@ def main():
             row["fwd"]["pallas_g%s" % (g or "auto")] = round(us, 2)
             if us < best_us:
                 best_g, best_us = g, us
-        attention._FORCE_G = str(best_g) if best_g else None
         row["fwd"]["pallas_best"] = round(best_us, 2)
         row["fwd"]["pallas_best_g"] = best_g or "auto"
-        row["fwdbwd"]["pallas"] = round(timed(loop_fwdbwd("pallas"), q), 2)
+
+        # independent G sweep for fwd+bwd (the round-5 fused single-block
+        # backward has its own VMEM profile — the fwd-optimal G need not
+        # match)
+        bbest_g, bbest_us = None, float("inf")
+        for g in gs:
+            attention._FORCE_G = str(g) if g else None
+            try:
+                us = timed(loop_fwdbwd("pallas"), q)
+            except Exception as e:
+                row["fwdbwd"]["pallas_g%s" % g] = (
+                    "failed: %s" % type(e).__name__)
+                continue
+            row["fwdbwd"]["pallas_g%s" % (g or "auto")] = round(us, 2)
+            if us < bbest_us:
+                bbest_g, bbest_us = g, us
         attention._FORCE_G = None
+        row["fwdbwd"]["pallas"] = round(bbest_us, 2)
+        row["fwdbwd"]["pallas_best_g"] = bbest_g or "auto"
         row["fwd"]["pallas_vs_xla"] = round(row["fwd"]["xla"] / best_us, 3)
         row["fwdbwd"]["pallas_vs_xla"] = round(
             row["fwdbwd"]["xla"] / row["fwdbwd"]["pallas"], 3)
