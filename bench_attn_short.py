@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default="ATTN_SHORT_PROBE.json")
+    ap.add_argument("--only", default="",
+                    help="comma-separated shape-tag substrings to run "
+                         "(e.g. 't512'); empty = all")
     args = ap.parse_args()
 
     shapes = [
@@ -43,10 +46,18 @@ def main():
         (32, 8, 128, 32, True),
         (32, 8, 256, 32, True),
         (16, 8, 512, 64, True),
+        # dispatch-boundary coverage: the t >= 512 single-kernel rule
+        # engages regardless of d / causal — verify it doesn't regress
+        # the other t=512 corners
+        (16, 8, 512, 64, False),
+        (16, 8, 512, 32, True),
     ]
     results = []
 
     for (b, h, t, d, causal) in shapes:
+        tag0 = "b%dh%dt%dd%d%s" % (b, h, t, d, "c" if causal else "")
+        if args.only and not any(s in tag0 for s in args.only.split(",")):
+            continue
         iters = args.iters or max(300, 1200000 // t)
         rng = np.random.RandomState(0)
         q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
