@@ -47,11 +47,13 @@ def test_xla_forward_matches_naive(causal):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("t", [16, 256])
+@pytest.mark.parametrize("t", [16, 256, 640])
 def test_pallas_interpret_matches_xla(causal, t):
     """Interpret mode runs the EXACT kernel Mosaic compiles on TPU —
     t=256 exercises the multi-block online-softmax recurrence and the
-    causal block-skip predicate."""
+    causal block-skip predicate; t=640 the round-5 whole-plane single
+    kernel on a length where a gridded tiling exists (128-tiles) but the
+    single-plane envelope check overrides it."""
     q, k, v = _qkv(b=1, h=4, t=t, d=8, seed=1)
     scale = 0.3
     args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
@@ -66,7 +68,7 @@ def test_pallas_interpret_matches_xla(causal, t):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("t", [16, 256])
+@pytest.mark.parametrize("t", [16, 256, 640])
 def test_pallas_interpret_backward_matches_xla(causal, t):
     q, k, v = _qkv(b=1, h=4, t=t, d=8, seed=2)
     rng = np.random.RandomState(3)

@@ -79,6 +79,28 @@ def _pick_block(t):
     return None
 
 
+# Whole-plane single-kernel envelope (round 5): the direct-softmax
+# kernels beat the gridded online-softmax form whenever the full [Tq, Tk]
+# score plane fits VMEM — measured at t=512 (fwd 4.5x, fwd+bwd 1.74x over
+# XLA) AND t=1024 (fwd 420 -> 237 us, fwd+bwd 1548 -> 1238 us over the
+# gridded kernels themselves). t=2048 is impossible (the plane alone is
+# 16 MB). _SINGLE_MAX_T caps eligibility to the measured territory.
+_SINGLE_MAX_T = int(os.environ.get("TINYNN_TPU_ATTN_SINGLE_MAX_T", "1024"))
+_SINGLE_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _single_plane_ok(tq, tk, d, n_streams):
+    """Whole-[Tq, Tk]-plane single-kernel eligibility: both dims inside
+    the measured envelope, 8-aligned, and the G=1 working set (2 live
+    f32 score planes + the streamed [T, d] operands) under the VMEM
+    budget. n_streams: 5 for the forward, 8 for the fused backward."""
+    if max(tq, tk) > _SINGLE_MAX_T or tq % 8 or tk % 8 or tq < 8 or tk < 8:
+        return False
+    plane = max(tq * max(tk, 128), tk * max(tq, 128)) * 4
+    streams = n_streams * max(tq, tk) * max(d, 128) * 4
+    return 2 * plane + streams <= _SINGLE_VMEM_BUDGET
+
+
 def _pick_head_batch(bh, bq, bk, d, n_streams=6):
     """Heads per grid step: largest divisor of BH whose per-step working
     set (n_streams [t,d]-ish blocks lane-padded to 128 plus two [bq,bk]
@@ -229,6 +251,10 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret, dropout=0.0, seed=None):
     bh, tq, d = q.shape
     tk = v.shape[1]
     bq, bk = _pick_block(tq), _pick_block(tk)
+    if _single_plane_ok(tq, tk, d, n_streams=5):
+        # whole plane fits: the direct-softmax kernel beats the gridded
+        # form even where a multi-tile grid exists (t=1024 measured)
+        bq, bk = tq, tk
     g = _pick_head_batch(bh, bq, bk, d, n_streams=5)
     nq, nk = tq // bq, tk // bk
 
@@ -489,12 +515,12 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
                 scale, causal, interpret, dropout=0.0, seed=None):
     bh, tq, d = q.shape
     tk = v.shape[1]
-    bq, bk = _pick_block(tq), _pick_block(tk)
-    nq, nk = tq // bq, tk // bk
-    if nq == 1 and nk == 1:
+    if _single_plane_ok(tq, tk, d, n_streams=8):
         return _bwd_pallas_single(
             q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
             scale, causal, interpret, dropout, seed)
+    bq, bk = _pick_block(tq), _pick_block(tk)
+    nq, nk = tq // bq, tk // bk
     g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
     seed_arr = _seed_arr(seed)
 
@@ -670,17 +696,22 @@ _PALLAS_MIN_T_SINGLE = int(os.environ.get(
     "TINYNN_TPU_ATTN_MIN_T_SINGLE", "512"))
 
 
-def _resolve_impl(impl, t):
+def _resolve_impl(impl, t, d=128):
     if impl is None:
         impl = os.environ.get("TINYNN_TPU_ATTN_IMPL")
     if impl in ("pallas", "pallas_interpret", "xla"):
         return impl
-    # auto: Pallas on TPU above the measured crossover, tileable length
+    # auto: Pallas on TPU above the measured crossover, tileable length.
+    # The single-plane regime covers every tileable t in [512, 1024]
+    # whose working set fits VMEM (8-stream = backward-conservative
+    # estimate so fwd and bwd route together); the gridded kernels take
+    # t >= 1024 beyond it.
     if (kernels._default_backend() == "tpu"
             and not os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
             and _pick_block(t) is not None
             and (t >= _PALLAS_MIN_T
-                 or (t >= _PALLAS_MIN_T_SINGLE and _pick_block(t) == t))):
+                 or (t >= _PALLAS_MIN_T_SINGLE
+                     and _single_plane_ok(t, t, d, n_streams=8)))):
         return "pallas"
     return "xla"
 
@@ -709,7 +740,7 @@ def mha_fwd(q, k, v, causal=False, scale=None, impl=None,
     if scale is None:
         scale = 1.0 / np.sqrt(d)
     dropout_rate = float(dropout_rate)
-    impl = _resolve_impl(impl, max(t, tk))
+    impl = _resolve_impl(impl, max(t, tk), d)
     if impl == "pallas" and (_pick_block(t) is None
                              or _pick_block(tk) is None):
         impl = "xla"  # no lane-aligned tiling exists for these lengths
@@ -735,7 +766,7 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None,
     if scale is None:
         scale = 1.0 / np.sqrt(d)
     dropout_rate = float(dropout_rate)
-    impl = _resolve_impl(impl, max(t, tk))
+    impl = _resolve_impl(impl, max(t, tk), d)
     if impl == "pallas" and (_pick_block(t) is None
                              or _pick_block(tk) is None):
         impl = "xla"

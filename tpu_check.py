@@ -132,14 +132,15 @@ def check_flash_dropout_hw(results):
     on hardware proves the in-kernel replay (fwd and both bwd kernels,
     incl. the dk/dv kernel's transposed orientation) drops exactly the
     same cells the fallback does. Covers both kernel regimes: gridded
-    (t=1024) and single-grid-step (t=512)."""
+    (t=2048 — t=1024 routes to the whole-plane single kernel since the
+    round-5 envelope widening) and single-grid-step (t=512)."""
     import jax.numpy as jnp
 
     from tinynn_autograd_tpu.ops import attention
 
     rng = np.random.RandomState(0)
     rate, seed = 0.15, 7
-    for (b, h, t, d) in ((2, 4, 1024, 64), (4, 4, 512, 64)):
+    for (b, h, t, d) in ((2, 4, 2048, 64), (4, 4, 512, 64)):
         tag = "b%dh%dt%dd%d" % (b, h, t, d)
         q, k, v, do = (jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
                        for _ in range(4))
