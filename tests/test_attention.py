@@ -342,3 +342,53 @@ def test_dropout_statistics_and_seed_decorrelation():
     o0r, _ = attention.mha_fwd(*args, impl="xla", dropout_rate=0.0,
                                dropout_seed=3)
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o0r))
+
+
+# ------------------------------------------------- row-band direct kernels
+
+def test_band_routing_selection():
+    """Round-5 routing: whole plane when it fits; query row-bands with
+    the full key axis resident when only a band fits; gridded
+    online-softmax beyond. Backward bands only where measured to win
+    (non-causal, or causal at t >= 4096 — the gridded kernels' causal
+    tile skip beats the direct form at t=2048)."""
+    assert attention._pick_band_rows(2048, 2048, 64, 5) == 512
+    assert attention._pick_band_rows(4096, 4096, 64, 5) == 128
+    assert attention._pick_band_rows(8192, 8192, 64, 5) is None
+    assert attention._pick_band_rows(2048, 2050, 64, 5) is None  # unaligned
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_band_fwd_interpret_matches_xla(causal):
+    """t=2048 routes the forward to the row-band direct-softmax kernel
+    (bq=512, whole key axis resident) — parity incl. dropout replay."""
+    q, k, v = _qkv(b=1, h=2, t=2048, d=8, seed=21)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    kw = dict(causal=causal, scale=0.35, dropout_rate=0.25,
+              dropout_seed=77)
+    o_x, lse_x = attention.mha_fwd(*args, impl="xla", **kw)
+    o_p, lse_p = attention.mha_fwd(*args, impl="pallas_interpret", **kw)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("causal,t", [(False, 2048), (True, 4096)])
+def test_band_bwd_interpret_matches_xla(causal, t):
+    """The banded backward engages non-causal at t=2048 and causal at
+    t >= 4096 (measured routing) — dq/dk/dv parity incl. dropout."""
+    q, k, v = _qkv(b=1, h=1, t=t, d=8, seed=22)
+    rng = np.random.RandomState(23)
+    do = rng.randn(*q.shape).astype(np.float32)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    kw = dict(causal=causal, scale=1.0 / np.sqrt(8), dropout_rate=0.2,
+              dropout_seed=11)
+    o, lse = attention.mha_fwd(*args, impl="xla", **kw)
+    ref = attention.mha_bwd(*args, o, lse, jnp.asarray(do), impl="xla",
+                            **kw)
+    got = attention.mha_bwd(*args, o, lse, jnp.asarray(do),
+                            impl="pallas_interpret", **kw)
+    for a, b, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

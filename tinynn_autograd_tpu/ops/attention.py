@@ -101,6 +101,23 @@ def _single_plane_ok(tq, tk, d, n_streams):
     return 2 * plane + streams <= _SINGLE_VMEM_BUDGET
 
 
+def _pick_band_rows(tq, tk, d, n_streams):
+    """Query-band height for the ROW-BAND direct-softmax forward (whole
+    key axis resident, bk == tk, no online-softmax recurrence): the
+    largest tile edge dividing tq whose working set — 2 live [bq, tk]
+    f32 planes plus the full-length K/V streams — fits the budget.
+    None when even the smallest band doesn't fit (t=4096: the K/V
+    streams alone are ~10.5 MB) or the key axis isn't lane-aligned."""
+    if tk % 8 or tk < 8:
+        return None
+    streams = n_streams * tk * max(d, 128) * 4
+    for bq in (512, 256, 128):
+        if tq % bq == 0 and 2 * bq * max(tk, 128) * 4 + streams \
+                <= _SINGLE_VMEM_BUDGET:
+            return bq
+    return None
+
+
 def _pick_head_batch(bh, bq, bk, d, n_streams=6):
     """Heads per grid step: largest divisor of BH whose per-step working
     set (n_streams [t,d]-ish blocks lane-padded to 128 plus two [bq,bk]
@@ -185,23 +202,26 @@ def _keep_thresh(rate):
 
 def _fwd_kernel_single(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
                        *, scale, causal, bq, bk, g, tq, tk, dropout):
-    """Short-T specialization (VERDICT r4 item 4): when the whole [T, T]
-    score tile fits one block (nq == nk == 1), the online-softmax
-    recurrence — scratch init/rescale/finish and their @pl.when branches —
-    is pure overhead. This kernel does the direct computation: one s tile,
-    row softmax, one P·V matmul. Same outputs (o, lse), same dropout
-    semantics as the gridded kernel."""
-    b = pl.program_id(0)
+    """Direct-softmax kernel (VERDICT r4 item 4, generalized round 5):
+    the whole KEY axis is resident (bk == tk), so the online-softmax
+    recurrence — scratch init/rescale/finish and their @pl.when branches
+    — is pure overhead and each grid step computes its query rows'
+    softmax directly: one [bq, tk] s plane, row softmax, one P·V matmul.
+    bq == tq is the original whole-plane short-T case; bq < tq is the
+    ROW-BAND case for longer sequences whose full plane doesn't fit VMEM
+    but a band does (grid axis 1 walks query bands). Same outputs
+    (o, lse), same dropout semantics as the gridded kernel."""
+    b, i = pl.program_id(0), pl.program_id(1)
     q = q_ref[...]
-    s = _bdot(q, kt_ref[...]) * scale                  # [G, T, T] f32
+    s = _bdot(q, kt_ref[...]) * scale                  # [G, bq, tk] f32
     if causal:
-        rows, cols = _causal_mask(0, 0, g, bq, bk)
+        rows, cols = _causal_mask(i * bq, 0, g, bq, bk)
         s = jnp.where(rows >= cols, s, _NEG_INF)
     m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=2, keepdims=True)
     if dropout > 0.0:
-        keep = _tile_keep_mask(seed_ref[0, 0], b * g, 0, 0,
+        keep = _tile_keep_mask(seed_ref[0, 0], b * g, i * bq, 0,
                                g, bq, bk, tq, tk, _keep_thresh(dropout))
         p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout))
     o_ref[...] = (_bdot(p.astype(q.dtype), v_ref[...]) / l).astype(
@@ -255,6 +275,12 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret, dropout=0.0, seed=None):
         # whole plane fits: the direct-softmax kernel beats the gridded
         # form even where a multi-tile grid exists (t=1024 measured)
         bq, bk = tq, tk
+    else:
+        band = _pick_band_rows(tq, tk, d, n_streams=5)
+        if band is not None:
+            # plane doesn't fit but a query row-band does: direct
+            # softmax per band, whole key axis resident (t=2048 probe)
+            bq, bk = band, tk
     g = _pick_head_batch(bh, bq, bk, d, n_streams=5)
     nq, nk = tq // bq, tk // bk
 
@@ -268,8 +294,9 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret, dropout=0.0, seed=None):
     params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g,
                   tq=tq, tk=tk, dropout=dropout)
     seed_arr = _seed_arr(seed)
-    if nq == 1 and nk == 1:
-        # whole [T, T] tile resident: direct softmax kernel, no scratch
+    if nk == 1:
+        # whole key axis resident (single plane or row-band): direct
+        # softmax kernel, no scratch
         kern = functools.partial(_fwd_kernel_single, **params)
         scratches = []
     else:
@@ -434,6 +461,145 @@ def _bwd_pallas_single(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
     return dq, dk, dv
 
 
+def _dq_kernel_band(seed_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref,
+                    lse_ref, delta_ref, dq_ref, *, scale, causal, bq, bk,
+                    g, tq, tk, dropout):
+    """Row-band dq (round 5): the whole key axis is resident (bk == tk),
+    so each grid step computes its query band's dq directly — no
+    accumulator scratch, no @pl.when. The direct-form counterpart of
+    _dq_kernel, same math and dropout replay."""
+    b, i = pl.program_id(0), pl.program_id(1)
+    q = q_ref[...]
+    s = _bdot(q, kt_ref[...]) * scale                  # [G, bq, tk]
+    if causal:
+        rows, cols = _causal_mask(i * bq, 0, g, bq, bk)
+        s = jnp.where(rows >= cols, s, _NEG_INF)
+    p = jnp.exp(s - lse_ref[...])
+    dp = _bdot(do_ref[...], vt_ref[...])               # [G, bq, tk]
+    if dropout > 0.0:
+        keep = _tile_keep_mask(seed_ref[0, 0], b * g, i * bq, 0, g, bq,
+                               bk, tq, tk, _keep_thresh(dropout))
+        dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout))
+    ds = (p * (dp - delta_ref[...]) * scale).astype(q.dtype)
+    dq_ref[...] = _bdot(ds, k_ref[...]).astype(dq_ref.dtype)
+
+
+def _dkv_kernel_band(seed_ref, k_ref, qt_ref, q_ref, dot_ref, do_ref,
+                     v_ref, lse_r_ref, delta_r_ref, dk_ref, dv_ref, *,
+                     scale, causal, bq, bk, g, tq, tk, dropout):
+    """Row-band dk/dv (round 5): the whole QUERY axis is resident
+    (bq == tq here), grid walks KEY bands of height bk; transposed-tile
+    layout like _dkv_kernel (keys on sublanes) so every dot stays
+    MXU-native, but each band's dk/dv writes directly — no scratch."""
+    b, j = pl.program_id(0), pl.program_id(1)
+    k = k_ref[...]
+    st = _bdot(k, qt_ref[...]) * scale                 # [G, bk, tq]
+    if causal:
+        rows, cols = _causal_mask(j * bk, 0, g, bk, bq)
+        # rows are KEY indices, cols QUERY indices: valid when q >= k
+        st = jnp.where(cols >= rows, st, _NEG_INF)
+    pt = jnp.exp(st - lse_r_ref[...])
+    dpt = _bdot(v_ref[...], dot_ref[...])              # [G, bk, tq]
+    if dropout > 0.0:
+        keep = _tile_keep_mask(seed_ref[0, 0], b * g, 0, j * bk, g, bk,
+                               bq, tq, tk, _keep_thresh(dropout), q_axis=2)
+        inv = 1.0 / (1.0 - dropout)
+        ptd = jnp.where(keep, pt, 0.0) * inv
+        dpt = jnp.where(keep, dpt, 0.0) * inv
+    else:
+        ptd = pt
+    dv_ref[...] = _bdot(ptd.astype(k.dtype), do_ref[...]).astype(
+        dv_ref.dtype)
+    dst = (pt * (dpt - delta_r_ref[...]) * scale).astype(k.dtype)
+    dk_ref[...] = _bdot(dst, q_ref[...]).astype(dk_ref.dtype)
+
+
+def _bwd_pallas_band(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
+                     delta_r, scale, causal, interpret, dropout, seed,
+                     bq_band, bk_band):
+    """Banded backward: dq gridded over query bands (whole K resident),
+    dk/dv gridded over key bands (whole Q resident) — both direct-form,
+    no accumulator scratch. Engages between the whole-plane fused kernel
+    (plane fits) and the gridded recurrence kernels (nothing fits)."""
+    bh, tq, d = q.shape
+    tk = v.shape[1]
+    seed_arr = _seed_arr(seed)
+
+    # --- dq over query bands
+    g = _pick_head_batch(bh, bq_band, tk, d, n_streams=4)
+    params = dict(scale=scale, causal=causal, bq=bq_band, bk=tk, g=g,
+                  tq=tq, tk=tk, dropout=dropout)
+
+    def bi(shape):   # banded over axis 1 (query)
+        return pl.BlockSpec(shape, lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel_band, **params),
+        grid=(bh // g, tq // bq_band),
+        in_specs=[smem,
+                  bi((g, bq_band, d)), full((g, d, tk)),
+                  full((g, tk, d)), full((g, d, tk)),
+                  bi((g, bq_band, d)), bi((g, bq_band, 1)),
+                  bi((g, bq_band, 1))],
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        out_specs=bi((g, bq_band, d)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * tq * tk * d,
+            bytes_accessed=6 * bh * (tq + tk) * d * 4,
+            transcendentals=bh * tq * tk),
+        interpret=interpret,
+    )(seed_arr, q, kt, k, vt, do, lse, delta)
+
+    # --- dk/dv over key bands
+    g2 = _pick_head_batch(bh, tq, bk_band, d, n_streams=5)
+    params2 = dict(scale=scale, causal=causal, bq=tq, bk=bk_band, g=g2,
+                   tq=tq, tk=tk, dropout=dropout)
+
+    def bj(shape):   # banded over axis 1 (key)
+        return pl.BlockSpec(shape, lambda b, j: (b, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full2(shape):
+        return pl.BlockSpec(shape, lambda b, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    smem2 = pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+                         memory_space=pltpu.SMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel_band, **params2),
+        grid=(bh // g2, tk // bk_band),
+        in_specs=[smem2,
+                  bj((g2, bk_band, d)),   # k band
+                  full2((g2, d, tq)),     # qt
+                  full2((g2, tq, d)),     # q
+                  full2((g2, d, tq)),     # doT
+                  full2((g2, tq, d)),     # do
+                  bj((g2, bk_band, d)),   # v band
+                  full2((g2, 1, tq)),     # lse_row
+                  full2((g2, 1, tq))],    # delta_row
+        out_shape=[jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, tk, d), q.dtype)],
+        out_specs=[bj((g2, bk_band, d)), bj((g2, bk_band, d))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * tq * tk * d,
+            bytes_accessed=6 * bh * (tq + tk) * d * 4,
+            transcendentals=bh * tq * tk),
+        interpret=interpret,
+    )(seed_arr, k, qt, q, dot_, do, v, lse_r, delta_r)
+    return dq, dk, dv
+
+
 def _dq_kernel(seed_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref,
                delta_ref, dq_ref, dq_acc, *, scale, causal, bq, bk, g,
                tq, tk, dropout):
@@ -519,6 +685,21 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
         return _bwd_pallas_single(
             q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
             scale, causal, interpret, dropout, seed)
+    bq_band = _pick_band_rows(tq, tk, d, n_streams=4)
+    bk_band = _pick_band_rows(tk, tq, d, n_streams=5)
+    if bq_band is not None and bk_band is not None and (
+            not causal or max(tq, tk) >= 4096):
+        # plane doesn't fit but bands do: direct-form banded backward.
+        # Measured routing (BAND probes, b2h8 d64): non-causal t=2048
+        # band wins 1.26x over gridded; CAUSAL t=2048 band LOSES 0.93x
+        # (the gridded kernels' causal tile compute+DMA skip saves more
+        # than removing the recurrence gains) but flips back at t=4096
+        # (band 1.08x) where the skipped half is larger in absolute
+        # terms yet the per-step recurrence overhead has grown with the
+        # tile count.
+        return _bwd_pallas_band(
+            q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
+            scale, causal, interpret, dropout, seed, bq_band, bk_band)
     bq, bk = _pick_block(tq), _pick_block(tk)
     nq, nk = tq // bq, tk // bk
     g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
