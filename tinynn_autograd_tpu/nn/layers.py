@@ -927,3 +927,113 @@ class Softplus(Activation):
 
     def func(self, x):
         return ops.softplus(x)
+
+
+class Remat(Layer):
+    """Activation-checkpoint wrapper: run ``inner`` WITHOUT keeping its
+    tape; re-run it from its input during the backward (ops/remat.py).
+
+    Wrap each block of a deep stack to make activation memory O(1) in
+    depth instead of O(depth) — the classic per-block checkpointing
+    pattern for long-context transformers and deep MLPs::
+
+        Net([Remat(TransformerBlock(dim, heads)) for _ in range(depth)]
+            + [Dense(n_out)])
+
+    The wrapped layer's parameters remain first-class citizens of the
+    Net (``params`` forwards to the inner layer), so optimizers,
+    checkpointing, and ``collect_grads`` see them unchanged; their
+    gradients are accumulated by the inner tape walk during the
+    recompute. Stochastic inner layers replay EXACTLY: the wrapper
+    snapshots the per-step rng (threaded by the Model, or a fresh
+    global-seeder subkey eagerly) and re-injects it for the recompute,
+    so both passes draw identical dropout masks.
+
+    In TEST phase (no backward coming) the wrapper is a transparent
+    pass-through. The fused megakernel/streaming tiers don't admit
+    wrapped layers (ops/fused_epoch.py ``supports`` returns False), so
+    ``train_epochs(fused="auto")`` falls back to the scanned epoch —
+    the right tier anyway for models big enough to need remat.
+
+    No reference counterpart: the reference tape unconditionally stores
+    every intermediate (reference core/ops.py:12-29).
+    """
+
+    def __init__(self, inner):
+        # no super().__init__: ``params`` is a forwarding property here,
+        # and the base would assign an instance dict over it
+        self.name = "Remat(%s)" % inner.name
+        self.grads = {}
+        self.is_training = True
+        self.inner = inner
+        self._rng = None
+        if hasattr(inner, "set_rng"):
+            self.set_rng = self._set_rng
+
+    def _set_rng(self, rng):
+        self._rng = rng
+
+    # ------------------------------------------------ forwarded state
+
+    @property
+    def params(self):
+        return self.inner.params
+
+    @params.setter
+    def params(self, value):
+        self.inner.params = value
+
+    @property
+    def buffers(self):
+        b = getattr(self.inner, "buffers", None)
+        if b is None:
+            raise AttributeError("buffers")
+        return b
+
+    @property
+    def _new_buffers(self):
+        b = getattr(self.inner, "_new_buffers", None)
+        if b is None:
+            raise AttributeError("_new_buffers")
+        return b
+
+    @property
+    def is_init(self):
+        return self.inner.is_init
+
+    def init_params(self, input_shape):
+        fn = getattr(self.inner, "init_params", None)
+        return tuple(fn(input_shape)) if fn is not None else tuple(input_shape)
+
+    def set_phase(self, phase):
+        self.is_training = phase == "TRAIN"
+        self.inner.set_phase(phase)
+
+    # ---------------------------------------------------------- forward
+
+    def forward(self, inputs):
+        inner = self.inner
+        if not self.is_training:
+            return inner.forward(inputs)
+        rng = self._rng
+        self._rng = None
+        # pin the recompute's seeder draws: both runs of ``run`` must see
+        # the SAME stream so an UNTHREADED stochastic inner (eager
+        # dropout with no set_rng key delivered) replays identical masks.
+        # Only drawn in that case — under a jit trace the Model always
+        # threads rng to stochastic layers, and splitting the global key
+        # during a trace would leak a tracer into the seeder.
+        stochastic = hasattr(inner, "set_rng")
+        key = seeder.next_key() if (stochastic and rng is None) else None
+
+        def run(x):
+            if rng is not None:
+                inner.set_rng(rng)
+            if key is None:
+                return inner.forward(x)
+            with seeder.scope(key):
+                return inner.forward(x)
+
+        from tinynn_autograd_tpu.ops.remat import remat_
+
+        return remat_(run, inputs)

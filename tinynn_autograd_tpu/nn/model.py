@@ -149,22 +149,40 @@ class Model:
         if self._base_key is None:
             self._base_key = seeder.next_key()
 
-    def train_step(self, x, y):
+    def train_step(self, x, y, accum_steps=1):
         """One fused optimization step; returns the loss as a device scalar
-        (no host sync — wrap in float() to block)."""
+        (no host sync — wrap in float() to block).
+
+        ``accum_steps > 1`` enables gradient accumulation: the batch is
+        split into ``accum_steps`` equal microbatches scanned on-device,
+        their gradients averaged, and ONE optimizer update applied — the
+        standard large-effective-batch recipe when activations for the
+        full batch exceed HBM (compose with ``nn.layers.Remat`` for the
+        per-block activation lever). For mean-reduction losses the update
+        matches the full-batch step exactly (up to summation order);
+        stochastic layers draw fresh masks per microbatch. The batch size
+        must divide evenly. No reference counterpart (the reference
+        trains strictly one batch per update, reference
+        examples/mnist/run.py:76-84)."""
         x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
         y = jnp.asarray(y.data if isinstance(y, Tensor) else y)
+        if accum_steps > 1 and (x.shape[0] % accum_steps
+                                or y.shape[0] % accum_steps):
+            raise ValueError(
+                "batch %d not divisible by accum_steps=%d"
+                % (x.shape[0], accum_steps))
         self._ensure_init(x.shape)
         self._prepare_state()
 
         if self._phase != "TRAIN":
             self.set_phase("TRAIN")
 
-        key = ("train_step", self._config_fingerprint())
+        key = ("train_step", accum_steps, self._config_fingerprint())
         if key not in self._jitted:
             self.net.set_phase("TRAIN")
             self._jitted[key] = jax.jit(
-                self._step_core(), donate_argnums=(0, 1, 2))
+                self._step_core(accum_steps=accum_steps),
+                donate_argnums=(0, 1, 2))
 
         self._params, self._opt_state, self._buffers, loss = self._jitted[
             key](self._params, self._opt_state, self._buffers, x, y)
@@ -172,26 +190,53 @@ class Model:
         self._rebind_concrete()
         return loss
 
-    def _step_core(self):
+    def _step_core(self, accum_steps=1):
         """The pure fused step: forward + tape backward + optimizer update,
         with non-trainable buffers (BatchNorm running stats) threaded
         in/out so fused training maintains them like eager training does.
-        Shared by the per-step jit and the scanned epoch."""
+        Shared by the per-step jit and the scanned epoch.
+
+        ``accum_steps > 1``: gradient accumulation — an inner ``lax.scan``
+        over equal microbatches (one traced tape walk, k on-device
+        iterations), gradients MEANED so mean-reduction losses match the
+        full-batch step, one optimizer update."""
         net, loss_fn, optimizer = self.net, self.loss, self.optimizer
         base_key = self._base_key
 
         def step_fn(params, opt_state, buffers, xb, yb):
-            net.bind_params(params)
-            net.bind_buffers(buffers)
             rng = jax.random.fold_in(base_key, opt_state["t"])
-            pred = net.forward(Tensor(xb), rng=rng)
-            new_buffers = net.collect_buffer_updates()
-            loss_t = loss_fn.loss(pred, Tensor(yb))
-            loss_t.backward()
-            grads = net.collect_grads()
+            if accum_steps == 1:
+                net.bind_params(params)
+                net.bind_buffers(buffers)
+                pred = net.forward(Tensor(xb), rng=rng)
+                new_buffers = net.collect_buffer_updates()
+                loss_t = loss_fn.loss(pred, Tensor(yb))
+                loss_t.backward()
+                grads = net.collect_grads()
+                loss_val = loss_t.data
+            else:
+                k = accum_steps
+                xmb = xb.reshape((k, xb.shape[0] // k) + xb.shape[1:])
+                ymb = yb.reshape((k, yb.shape[0] // k) + yb.shape[1:])
+
+                def micro(bufs, inp):
+                    x_i, y_i, i = inp
+                    net.bind_params(params)
+                    net.bind_buffers(bufs)
+                    pred = net.forward(
+                        Tensor(x_i), rng=jax.random.fold_in(rng, i))
+                    bufs_out = net.collect_buffer_updates()
+                    loss_t = loss_fn.loss(pred, Tensor(y_i))
+                    loss_t.backward()
+                    return bufs_out, (net.collect_grads(), loss_t.data)
+
+                new_buffers, (gstack, losses) = jax.lax.scan(
+                    micro, buffers, (xmb, ymb, jnp.arange(k)))
+                grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gstack)
+                loss_val = jnp.mean(losses)
             steps, new_opt_state = optimizer.update(grads, params, opt_state)
             new_params = jax.tree.map(lambda p, s: p + s, params, steps)
-            return new_params, new_opt_state, new_buffers, loss_t.data
+            return new_params, new_opt_state, new_buffers, loss_val
 
         return step_fn
 

@@ -184,6 +184,69 @@ def check_flash_dropout_hw(results):
               % (tag, fwd_err, ["%.2e" % e for e in bwd_errs]))
 
 
+def check_remat_accum_hw(results):
+    """Round-5 check: activation rematerialization + gradient accumulation
+    on the real chip.
+
+    A 4-block transformer (attn="tape" so the [B,H,T,T] score planes are
+    the dominant activations) trains one jitted step three ways — plain,
+    Remat-per-block, and Remat + accum_steps=4 — and must produce the
+    same loss (no dropout, shared init seeds). XLA's own memory analysis
+    of the two compiled steps then certifies the point of remat: the
+    checkpointed program's temp allocation (live activations) must come
+    in well under the plain tape's."""
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.nn.layers import Dense, Flatten, Remat, \
+        TransformerBlock
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn.net import Net
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    b, t, dim, heads, depth, nout = 8, 512, 256, 4, 4, 16
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(b, t, dim).astype(np.float32))
+    y = jnp.asarray(np.eye(nout, dtype=np.float32)[
+        rng.randint(0, nout, b)])
+
+    def build(wrap):
+        from tinynn_autograd_tpu.nn.optimizer import Adam
+        blocks = [TransformerBlock(dim, heads, causal=True, seed=50 + i,
+                                   attn="tape")
+                  for i in range(depth)]
+        if wrap:
+            blocks = [Remat(blk) for blk in blocks]
+        net = Net(blocks + [Flatten(), Dense(nout, num_in=t * dim,
+                                             seed=99)])
+        return Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-3))
+
+    random_seed(0)
+    losses, temps = {}, {}
+    for tag, wrap, accum in (("plain", False, 1), ("remat", True, 1),
+                             ("remat_accum4", True, 4)):
+        m = build(wrap)
+        losses[tag] = float(m.train_step(x, y, accum_steps=accum))
+        key = ("train_step", accum, m._config_fingerprint())
+        an = m._jitted[key].lower(
+            m._params, m._opt_state, m._buffers, x, y).compile() \
+            .memory_analysis()
+        temps[tag] = int(getattr(an, "temp_size_in_bytes", 0))
+
+    assert abs(losses["remat"] - losses["plain"]) < 1e-3, losses
+    assert abs(losses["remat_accum4"] - losses["plain"]) < 1e-3, losses
+    ratio = temps["plain"] / max(temps["remat"], 1)
+    stats = {"losses": {k: round(v, 5) for k, v in losses.items()},
+             "temp_bytes": temps,
+             "plain_over_remat_temp_ratio": round(ratio, 2)}
+    # 4 blocks x 2 score planes [8,4,512,512] f32 = ~33 MB each live in
+    # the plain tape; remat keeps ~one block's worth — expect a clear cut
+    assert ratio > 1.5, stats
+    results["remat_accum"] = stats
+    print("remat/accum hw: losses %s, temp bytes %s (plain/remat %.2fx)"
+          % (stats["losses"], temps, ratio))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--round", type=int, default=3)
@@ -197,6 +260,7 @@ def main():
     check_pltpu_dropout_stats(results)
     check_megakernel_dropout_e2e(results)
     check_flash_dropout_hw(results)
+    check_remat_accum_hw(results)
 
     out = args.out or "TPUCHECK_r%02d.json" % args.round
     with open(out, "w") as f:
