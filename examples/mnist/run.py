@@ -72,10 +72,13 @@ def main(args):
             loss.backward()
             model.step()
             return loss.values
+    elif args.accum > 1:
+        def step(xb, yb):
+            return model.train_step(xb, yb, accum_steps=args.accum)
     else:
         step = model.train_step
 
-    epoch_mode = args.dp <= 1 and not args.eager
+    epoch_mode = args.dp <= 1 and not args.eager and args.accum <= 1
     if epoch_mode:
         # TPU path: stage the dataset into HBM once; each epoch is ONE
         # device dispatch (on-device shuffle + fused steps / megakernel)
@@ -146,6 +149,10 @@ if __name__ == "__main__":
     parser.add_argument("--dp", default=0, type=int,
                         help="data-parallel over N mesh devices")
     parser.add_argument("--target_acc", default=0.975, type=float)
+    parser.add_argument("--accum", default=1, type=int,
+                        help="gradient accumulation: microbatches per "
+                             "optimizer update (batch_size must divide; "
+                             "runs the per-step path)")
     parser.add_argument("--ckpt", default="", type=str)
     parser.add_argument("--profile", default="", type=str,
                         help="write a jax.profiler trace of epoch 1 here")

@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--vocab", type=int, default=17)
     parser.add_argument("--lr", type=float, default=3e-3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--remat", action="store_true",
+                        help="checkpoint each block (activation memory "
+                             "O(1) in depth; one extra forward in bwd)")
     args = parser.parse_args()
 
     import numpy as np
@@ -41,7 +44,8 @@ def main():
 
     random_seed(args.seed)
     V, T = args.vocab, args.seq_len
-    net = build_tiny_lm(vocab=V, seq_len=T, dim=64, heads=4, depth=2)
+    net = build_tiny_lm(vocab=V, seq_len=T, dim=64, heads=4, depth=2,
+                        remat=args.remat)
     model = Model(net, SoftmaxCrossEntropyLoss(), Adam(args.lr))
 
     # synthetic deterministic grammar: x_{t+1} = (3*x_t + 1) mod V, random

@@ -96,3 +96,18 @@ def test_generate_after_training_produces_grammar():
     out = np.asarray(generate(net, prompt, 4))
     want = np.array([[3, 4, 5, 6, 7, 0, 1], [0, 1, 2, 3, 4, 5, 6]])
     np.testing.assert_array_equal(out, want)
+
+
+def test_generate_through_remat_wrapped_lm():
+    """Decode unwraps nn.layers.Remat (a training-only wrapper): a
+    remat-built LM generates token-for-token identically to its plain
+    twin (same init seeds via the shared global stream reset)."""
+    ids = np.random.RandomState(3).randint(0, 17, (2, 5))
+    outs = []
+    for remat in (False, True):
+        random_seed(9)
+        net = build_tiny_lm(vocab=17, seq_len=12, dim=16, heads=4,
+                            depth=2, remat=remat)
+        net.init((2, 12))
+        outs.append(np.asarray(generate(net, ids, 5)))
+    np.testing.assert_array_equal(outs[0], outs[1])

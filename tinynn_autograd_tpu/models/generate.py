@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from tinynn_autograd_tpu.nn.layers import (
-    Dense, Embedding, PositionalEmbedding, TransformerBlock,
+    Dense, Embedding, PositionalEmbedding, Remat, TransformerBlock,
 )
 
 _NEG_INF = -1e30
@@ -46,6 +46,9 @@ def _extract(net):
     blocks = []
     heads = eps = None
     for layer in net.layers:
+        if isinstance(layer, Remat):
+            # training-only wrapper; decode reads the inner layer
+            layer = layer.inner
         if isinstance(layer, Embedding):
             emb = layer.params["w"].data
         elif isinstance(layer, PositionalEmbedding):
