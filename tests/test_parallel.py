@@ -223,3 +223,33 @@ def test_dp_phase_sync_and_bn_test_fallback():
     model.set_phase("TRAIN")
     train_out = np.asarray(model.forward(Tensor(x)).data)
     np.testing.assert_allclose(test_out, train_out, rtol=1e-4, atol=1e-5)
+
+
+def test_dp_composes_with_remat():
+    """Remat under shard_map: a DP model with Remat-wrapped layers tracks
+    its plain DP twin to float tolerance (the recompute + optimization
+    barrier trace cleanly inside the sharded step)."""
+    from tinynn_autograd_tpu.nn.layers import Remat
+
+    x, y = _data(64)
+
+    def build(wrap):
+        random_seed(31)
+        layers = [Dense(16, num_in=8, seed=41), ReLU(),
+                  Dense(4, num_in=16, seed=43)]
+        if wrap:
+            layers = [Remat(l) if isinstance(l, Dense) else l
+                      for l in layers]
+        return Model(Net(layers), SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+    params = []
+    for wrap in (False, True):
+        dp = DataParallel(build(wrap), mesh=make_mesh(8))
+        for _ in range(5):
+            dp.train_step(x, y)
+        params.append(dp._params)
+    for layer_p, layer_w in zip(*params):
+        for k in layer_p:
+            np.testing.assert_allclose(
+                np.asarray(layer_w[k]), np.asarray(layer_p[k]),
+                rtol=2e-4, atol=1e-5)
