@@ -955,6 +955,12 @@ class Remat(Layer):
     ``train_epochs(fused="auto")`` falls back to the scanned epoch —
     the right tier anyway for models big enough to need remat.
 
+    Parallel wrappers: DataParallel composes fully (the recompute traces
+    inside the shard_map step; parity-tested). TensorParallel and
+    PipelineParallel treat a wrapped layer as an opaque REPLICATED layer
+    — numerics are unchanged but it will not be col/row- or
+    head-sharded, so don't wrap the layers you want sharded.
+
     No reference counterpart: the reference tape unconditionally stores
     every intermediate (reference core/ops.py:12-29).
     """
