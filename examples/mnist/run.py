@@ -63,7 +63,11 @@ def main(args):
         from tinynn_autograd_tpu.parallel import DataParallel, make_mesh
 
         trainer = DataParallel(model, mesh=make_mesh(args.dp))
-        step = trainer.train_step
+        if args.accum > 1:
+            def step(xb, yb):
+                return trainer.train_step(xb, yb, accum_steps=args.accum)
+        else:
+            step = trainer.train_step
     elif args.eager:
         def step(xb, yb):
             model.zero_grad()

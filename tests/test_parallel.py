@@ -253,3 +253,28 @@ def test_dp_composes_with_remat():
             np.testing.assert_allclose(
                 np.asarray(layer_w[k]), np.asarray(layer_p[k]),
                 rtol=2e-4, atol=1e-5)
+
+
+def test_dp_accum_matches_full_batch():
+    """DP gradient accumulation: per-device microbatch means before the
+    one pmean == the full-batch DP step for mean-reduction losses, so
+    the accumulated run must track the plain DP run to float tolerance."""
+    x, y = _data(64)
+    dp_full = DataParallel(_toy(13, SGD(lr=0.1)), mesh=make_mesh(8))
+    dp_acc = DataParallel(_toy(13, SGD(lr=0.1)), mesh=make_mesh(8))
+    for _ in range(5):
+        l_full = float(dp_full.train_step(x, y))
+        l_acc = float(dp_acc.train_step(x, y, accum_steps=4))
+    np.testing.assert_allclose(l_acc, l_full, rtol=1e-5)
+    for layer_f, layer_a in zip(dp_full._params, dp_acc._params):
+        for k in layer_f:
+            np.testing.assert_allclose(
+                np.asarray(layer_a[k]), np.asarray(layer_f[k]),
+                rtol=2e-4, atol=1e-5)
+
+
+def test_dp_accum_indivisible_shard_raises():
+    dp = DataParallel(_toy(14, SGD(lr=0.1)), mesh=make_mesh(8))
+    x, y = _data(64)  # local shard 8; accum 3 doesn't divide
+    with pytest.raises(ValueError, match="accum_steps"):
+        dp.train_step(x, y, accum_steps=3)

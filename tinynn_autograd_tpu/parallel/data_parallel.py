@@ -41,7 +41,7 @@ class DataParallel:
         self.n_devices = self.mesh.devices.size
         self._params = None
         self._opt_state = None
-        self._step_fn = None
+        self._step_fns = {}  # keyed by accum_steps
         self._base_key = None
 
     # -------------------------------------------------------------- helpers
@@ -74,7 +74,7 @@ class DataParallel:
         if not self.net.is_init:
             self.net.init(input_shape)
 
-    def _build(self):
+    def _build(self, accum_steps=1):
         net = self.net
         loss_fn = self.model.loss
         optimizer = self.model.optimizer
@@ -83,19 +83,43 @@ class DataParallel:
 
         def local_step(params, opt_state, xb, yb):
             # runs per device on its batch shard
-            net.bind_params(params)
             rng = jax.random.fold_in(base_key, opt_state["t"])
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-            pred = net.forward(Tensor(xb), rng=rng)
-            loss_t = loss_fn.loss(pred, Tensor(yb))
-            loss_t.backward()
-            grads = net.collect_grads()
+            if accum_steps == 1:
+                net.bind_params(params)
+                pred = net.forward(Tensor(xb), rng=rng)
+                loss_t = loss_fn.loss(pred, Tensor(yb))
+                loss_t.backward()
+                grads = net.collect_grads()
+                loss_local = loss_t.data
+            else:
+                # gradient accumulation: scan the local shard's k
+                # microbatches, mean grads — one pmean + update per
+                # GLOBAL step, same as the single-device recipe
+                # (nn/model.py _step_core)
+                k = accum_steps
+                xm = xb.reshape((k, xb.shape[0] // k) + xb.shape[1:])
+                ym = yb.reshape((k, yb.shape[0] // k) + yb.shape[1:])
+
+                def micro(carry, inp):
+                    x_i, y_i, i = inp
+                    net.bind_params(params)
+                    pred = net.forward(
+                        Tensor(x_i), rng=jax.random.fold_in(rng, i))
+                    loss_t = loss_fn.loss(pred, Tensor(y_i))
+                    loss_t.backward()
+                    return carry, (net.collect_grads(), loss_t.data)
+
+                _, (gstack, losses) = jax.lax.scan(
+                    micro, 0, (xm, ym, jnp.arange(k)))
+                grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gstack)
+                loss_local = jnp.mean(losses)
             # the one collective: gradient all-reduce over ICI
             grads = jax.tree.map(
                 lambda g: jax.lax.pmean(g, axis_name=axis), grads)
             steps, new_opt_state = optimizer.update(grads, params, opt_state)
             new_params = jax.tree.map(lambda p, s: p + s, params, steps)
-            loss_out = jax.lax.pmean(loss_t.data, axis_name=axis)
+            loss_out = jax.lax.pmean(loss_local, axis_name=axis)
             return new_params, new_opt_state, loss_out
 
         sharded = jax.shard_map(
@@ -113,15 +137,24 @@ class DataParallel:
 
     # ------------------------------------------------------------ train API
 
-    def train_step(self, x, y):
+    def train_step(self, x, y, accum_steps=1):
         """One data-parallel step on a GLOBAL batch (leading dim must divide
-        by the mesh size). Returns the global mean loss (device scalar)."""
+        by the mesh size). Returns the global mean loss (device scalar).
+
+        ``accum_steps > 1``: each device scans its local shard in
+        ``accum_steps`` microbatches and means the gradients BEFORE the
+        one pmean — the large-effective-batch recipe with unchanged
+        per-step collective cost (the local shard must divide evenly)."""
         x = jnp.asarray(x.data if isinstance(x, Tensor) else x)
         y = jnp.asarray(y.data if isinstance(y, Tensor) else y)
         if x.shape[0] % self.n_devices:
             raise ValueError(
                 "Global batch %d not divisible by mesh size %d"
                 % (x.shape[0], self.n_devices))
+        if accum_steps > 1 and (x.shape[0] // self.n_devices) % accum_steps:
+            raise ValueError(
+                "Local shard %d not divisible by accum_steps=%d"
+                % (x.shape[0] // self.n_devices, accum_steps))
         self._ensure_init(x.shape)
 
         if self._params is None:
@@ -130,15 +163,15 @@ class DataParallel:
             self._opt_state = self.model.optimizer.init_state(self._params)
         if self._base_key is None:
             self._base_key = seeder.next_key()
-        if self._step_fn is None:
-            self._step_fn = self._build()
+        if accum_steps not in self._step_fns:
+            self._step_fns[accum_steps] = self._build(accum_steps)
             # pre-place the batch sharding so host->device transfer lands
             # each shard directly on its device
             self._x_sharding = NamedSharding(self.mesh, P(self.axis_name))
 
         x = self._place(x)
         y = self._place(y)
-        self._params, self._opt_state, loss = self._step_fn(
+        self._params, self._opt_state, loss = self._step_fns[accum_steps](
             self._params, self._opt_state, x, y)
         self.net.bind_params(self._params)
         return loss
@@ -423,4 +456,4 @@ class DataParallel:
         self._opt_state = (
             jax.tree.map(jnp.asarray, self.model._opt_state)
             if self.model._opt_state is not None else None)
-        self._step_fn = None
+        self._step_fns = {}
