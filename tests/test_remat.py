@@ -223,3 +223,21 @@ def test_remat_eval_is_passthrough():
     # pass-through: in TEST phase the wrapper adds no remat node — the
     # inner tape is the output's own history
     assert any(d["grad_fn"] is not None for d in out_w.dependency)
+
+
+def test_remat_one_dispatch_epoch():
+    """train_epochs with a Remat model: the fused tiers decline the
+    wrapper (ops/fused_epoch.py supports()) and the scanned one-dispatch
+    epoch runs the remat step under lax.scan."""
+    from tinynn_autograd_tpu.utils.seeder import random_seed as _rs
+
+    _rs(17)
+    x = np.random.randn(64, 12).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[np.random.randint(0, 6, 64)]
+    _, wrapped = _twin_nets(True)
+    m = Model(wrapped, SoftmaxCrossEntropyLoss(), Adam(1e-2))
+    losses = np.asarray(m.train_epochs(x, y, n_epochs=25, batch_size=32,
+                                       shuffle=False))
+    assert losses.shape == (25, 2)
+    assert np.isfinite(losses).all()
+    assert losses[-1].mean() < losses[0].mean() * 0.7
