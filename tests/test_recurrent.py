@@ -1,0 +1,279 @@
+"""Recurrent primitives (ops/recurrent.py) and layers (nn.layers.LSTM/GRU).
+
+The reference has no recurrent machinery (SURVEY.md: the only model family
+is the MLP), so there is no ported contract here; the oracles are (a) a
+hand-rolled per-step loop of the same cell math and (b) ``jax.grad`` over
+an identical pure function — the same external-oracle pattern as the
+attention tests (the framework itself never uses jax.grad).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tinynn_autograd_tpu.core.tensor import Tensor
+from tinynn_autograd_tpu.nn import layers, losses, optimizer as opt
+from tinynn_autograd_tpu.nn.model import Model
+from tinynn_autograd_tpu.nn.net import Net
+from tinynn_autograd_tpu.ops.recurrent import gru_scan_, lstm_scan_
+from tinynn_autograd_tpu.utils import seeder
+
+B, T, D, H = 3, 5, 4, 6
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def _lstm_ref(x, wx, wh, b, h0=None, c0=None):
+    """Per-step loop of the identical cell math (pure jnp)."""
+    Bn, Tn, _ = x.shape
+    Hn = wh.shape[0]
+    h = jnp.zeros((Bn, Hn), x.dtype) if h0 is None else h0
+    c = jnp.zeros((Bn, Hn), x.dtype) if c0 is None else c0
+    outs = []
+    for t in range(Tn):
+        z = x[:, t] @ wx + h @ wh + b
+        i, f, g, o = (jax.nn.sigmoid(z[:, :Hn]), jax.nn.sigmoid(z[:, Hn:2 * Hn]),
+                      jnp.tanh(z[:, 2 * Hn:3 * Hn]), jax.nn.sigmoid(z[:, 3 * Hn:]))
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        outs.append(h)
+    return jnp.stack(outs, axis=1)
+
+
+def _gru_ref(x, wx, wh, b, h0=None):
+    Bn, Tn, _ = x.shape
+    Hn = wh.shape[0]
+    h = jnp.zeros((Bn, Hn), x.dtype) if h0 is None else h0
+    outs = []
+    for t in range(Tn):
+        a = x[:, t] @ wx + b
+        u = h @ wh
+        z = jax.nn.sigmoid(a[:, :Hn] + u[:, :Hn])
+        r = jax.nn.sigmoid(a[:, Hn:2 * Hn] + u[:, Hn:2 * Hn])
+        n = jnp.tanh(a[:, 2 * Hn:] + r * u[:, 2 * Hn:])
+        h = (1.0 - z) * n + z * h
+        outs.append(h)
+    return jnp.stack(outs, axis=1)
+
+
+def _params(gates, seed=0):
+    rng = np.random.default_rng(seed)
+    wx = _rand(rng, D, gates * H) * 0.4
+    wh = _rand(rng, H, gates * H) * 0.4
+    b = _rand(rng, 1, gates * H) * 0.1
+    x = _rand(rng, B, T, D)
+    return x, wx, wh, b
+
+
+# ----------------------------------------------------------- value parity
+
+
+def test_lstm_forward_matches_loop_reference():
+    x, wx, wh, b = _params(4)
+    out = lstm_scan_(Tensor(x), Tensor(wx), Tensor(wh), Tensor(b))
+    np.testing.assert_allclose(np.asarray(out.data),
+                               np.asarray(_lstm_ref(x, wx, wh, b)),
+                               rtol=0, atol=1e-6)
+
+
+def test_gru_forward_matches_loop_reference():
+    x, wx, wh, b = _params(3)
+    out = gru_scan_(Tensor(x), Tensor(wx), Tensor(wh), Tensor(b))
+    np.testing.assert_allclose(np.asarray(out.data),
+                               np.asarray(_gru_ref(x, wx, wh, b)),
+                               rtol=0, atol=1e-6)
+
+
+# ------------------------------------------------------------ grad parity
+
+
+def _tape_grads(scan_fn, x, wx, wh, b, cot):
+    tx, twx, twh, tb = (Tensor(x, requires_grad=True),
+                        Tensor(wx, requires_grad=True),
+                        Tensor(wh, requires_grad=True),
+                        Tensor(b, requires_grad=True))
+    out = scan_fn(tx, twx, twh, tb)
+    out.backward(Tensor(cot))
+    return tx.grad, twx.grad, twh.grad, tb.grad
+
+
+@pytest.mark.parametrize("which", ["lstm", "gru"])
+def test_grads_match_jax_grad_oracle(which):
+    gates = 4 if which == "lstm" else 3
+    ref = _lstm_ref if which == "lstm" else _gru_ref
+    scan_fn = lstm_scan_ if which == "lstm" else gru_scan_
+    x, wx, wh, b = _params(gates, seed=1)
+    rng = np.random.default_rng(7)
+    cot = _rand(rng, B, T, H)
+
+    def scalar(x_, wx_, wh_, b_):
+        return jnp.sum(ref(x_, wx_, wh_, b_) * cot)
+
+    oracle = jax.grad(scalar, argnums=(0, 1, 2, 3))(x, wx, wh, b)
+    ours = _tape_grads(scan_fn, x, wx, wh, b, cot)
+    for got, want in zip(ours, oracle):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_lstm_h0_c0_grads_match_oracle():
+    x, wx, wh, b = _params(4, seed=2)
+    rng = np.random.default_rng(3)
+    h0 = _rand(rng, B, H)
+    c0 = _rand(rng, B, H)
+    cot = _rand(rng, B, T, H)
+
+    def scalar(h0_, c0_):
+        return jnp.sum(_lstm_ref(x, wx, wh, b, h0_, c0_) * cot)
+
+    want_h0, want_c0 = jax.grad(scalar, argnums=(0, 1))(h0, c0)
+    th0 = Tensor(h0, requires_grad=True)
+    tc0 = Tensor(c0, requires_grad=True)
+    out = lstm_scan_(Tensor(x), Tensor(wx), Tensor(wh), Tensor(b),
+                     h0=th0, c0=tc0)
+    out.backward(Tensor(cot))
+    np.testing.assert_allclose(np.asarray(th0.grad), np.asarray(want_h0),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(tc0.grad), np.asarray(want_c0),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_grads_under_jit_match_eager():
+    x, wx, wh, b = _params(4, seed=4)
+    cot = jnp.ones((B, T, H), jnp.float32)
+
+    def run(x_, wx_, wh_, b_):
+        return _tape_grads(lstm_scan_, x_, wx_, wh_, b_, cot)
+
+    eager = run(x, wx, wh, b)
+    jitted = jax.jit(run)(x, wx, wh, b)
+    for ge, gj in zip(eager, jitted):
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gj),
+                                   rtol=1e-6, atol=1e-6)
+
+
+# ------------------------------------------------------------- layer API
+
+
+def test_layer_shapes_and_last_step_slice():
+    seeder.random_seed(0)
+    lstm_seq = layers.LSTM(H, num_in=D, return_sequences=True, seed=11)
+    lstm_last = layers.LSTM(H, num_in=D, return_sequences=False, seed=11)
+    x = Tensor(_rand(np.random.default_rng(0), B, T, D))
+    seq = lstm_seq.forward(x)
+    last = lstm_last.forward(x)
+    assert seq.shape == (B, T, H)
+    assert last.shape == (B, H)
+    np.testing.assert_allclose(np.asarray(seq.data[:, -1]),
+                               np.asarray(last.data), atol=0)
+
+
+def test_lstm_forget_bias_initializes_to_one():
+    lstm = layers.LSTM(H, num_in=D, seed=5)
+    bias = np.asarray(lstm.params["b"].data)[0]
+    np.testing.assert_array_equal(bias[H:2 * H], 1.0)
+    np.testing.assert_array_equal(bias[:H], 0.0)
+    np.testing.assert_array_equal(bias[2 * H:], 0.0)
+
+
+def test_lazy_init_from_first_input():
+    gru = layers.GRU(H, seed=6)
+    assert not gru.is_init
+    out = gru.forward(Tensor(jnp.ones((2, 3, 7), jnp.float32)))
+    assert gru.is_init
+    assert gru.params["wx"].shape == (7, 3 * H)
+    assert out.shape == (2, H)
+
+
+# -------------------------------------------------------- model training
+
+
+@pytest.mark.parametrize("cell", ["lstm", "gru"])
+def test_sequence_regression_converges(cell):
+    """Learn y = sum_t x_t (a pure memory task) with the fused jitted
+    train step — the recurrent primitives inside the same one-program
+    step as every other layer."""
+    seeder.random_seed(0)
+    rng = np.random.default_rng(0)
+    n = 256
+    x = rng.standard_normal((n, 6, 2)).astype(np.float32)
+    y = x.sum(axis=1)[:, :1] + 0.5 * x.sum(axis=1)[:, 1:]
+
+    rec = (layers.LSTM(12, seed=21) if cell == "lstm"
+           else layers.GRU(12, seed=21))
+    model = Model(net=Net([rec, layers.Dense(1, seed=22)]),
+                  loss=losses.MSELoss(),
+                  optimizer=opt.Adam(lr=1e-2))
+    first = None
+    for step in range(300):
+        loss = float(model.train_step(x, y))
+        if first is None:
+            first = loss
+    assert loss < 0.05 * first, (first, loss)
+
+
+def test_model_checkpoint_roundtrip(tmp_path):
+    seeder.random_seed(0)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((8, 4, 3)).astype(np.float32)
+    y = rng.standard_normal((8, 1)).astype(np.float32)
+    model = Model(net=Net([layers.LSTM(5, seed=31), layers.Dense(1, seed=32)]),
+                  loss=losses.MSELoss(), optimizer=opt.Adam(lr=1e-3))
+    for _ in range(3):
+        model.train_step(x, y)
+    pred_before = np.asarray(model.forward(Tensor(x)).data)
+    path = str(tmp_path / "rnn.ckpt")
+    model.save(path)
+
+    model2 = Model(net=Net([layers.LSTM(5, num_in=3, seed=0),
+                            layers.Dense(1, num_in=5, seed=0)]),
+                   loss=losses.MSELoss(), optimizer=opt.Adam(lr=1e-3))
+    model2.load(path)
+    pred_after = np.asarray(model2.forward(Tensor(x)).data)
+    np.testing.assert_allclose(pred_after, pred_before, rtol=0, atol=1e-6)
+
+
+def test_stacked_rnn_classifier_converges():
+    """models.build_rnn_classifier: a 2-layer stack (full-sequence LSTM
+    feeding a last-step LSTM) learns a first-token-vs-last-token parity
+    task that a bag-of-steps model cannot."""
+    from tinynn_autograd_tpu.models import build_rnn_classifier
+
+    seeder.random_seed(0)
+    rng = np.random.default_rng(5)
+    n, t = 512, 6
+    x = rng.standard_normal((n, t, 3)).astype(np.float32)
+    y = ((x[:, 0, 0] > 0) ^ (x[:, -1, 0] > 0)).astype(np.int32)
+    onehot = np.eye(2, dtype=np.float32)[y]
+
+    net = build_rnn_classifier(num_in=3, num_out=2, hidden=(16, 16),
+                               cell="lstm", seed=100)
+    model = Model(net=net, loss=losses.SoftmaxCrossEntropyLoss(),
+                  optimizer=opt.Adam(lr=5e-3))
+    for _ in range(400):
+        loss = float(model.train_step(x, onehot))
+    pred = np.argmax(np.asarray(model.forward(Tensor(x)).data), axis=1)
+    assert (pred == y).mean() > 0.95, (pred == y).mean()
+    assert np.isfinite(loss)
+
+
+def test_scanned_epoch_tier_handles_recurrent_nets():
+    """train_epochs must route recurrent nets to the scanned tier (the
+    megakernel/streaming tiers only admit their Dense-family bodies)."""
+    seeder.random_seed(0)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((64, 4, 3)).astype(np.float32)
+    y = rng.standard_normal((64, 1)).astype(np.float32)
+    model = Model(net=Net([layers.GRU(6, seed=41), layers.Dense(1, seed=42)]),
+                  loss=losses.MSELoss(), optimizer=opt.SGD(lr=1e-2))
+    traces = model.train_epochs(x, y, n_epochs=2, batch_size=16,
+                                fused="auto")
+    assert traces.shape == (2, 4)
+    assert np.isfinite(np.asarray(traces)).all()

@@ -469,6 +469,127 @@ class GlobalAvgPool1D(Layer):
         return ops.mean_(inputs, axis=1)
 
 
+class _RecurrentBase(Layer):
+    """Shared plumbing for the recurrent layers (LSTM/GRU): fused-gate
+    weight layout wx [D, G*H] / wh [H, G*H] / b [1, G*H], lazy init from
+    the first input's feature size, and the full-sequence-vs-last-step
+    output policy. The reference has no recurrent machinery at all (its
+    only model family is the MLP, reference examples/mnist/run.py:59-69);
+    these layers are TPU-native additions built on the single-scan BPTT
+    primitives in ops/recurrent.py."""
+
+    _GATES = None  # subclass: number of fused gates G
+
+    def __init__(self, name, num_hidden, num_in=None, return_sequences=False,
+                 w_init=None, u_init=None, seed=None):
+        super().__init__(name)
+        self.num_hidden = int(num_hidden)
+        self.return_sequences = return_sequences
+        self._seed = seed
+        self.initializers = {
+            "wx": w_init if w_init is not None else XavierUniformInit(),
+            "wh": u_init if u_init is not None else XavierUniformInit(),
+        }
+        g = self._GATES
+        self.shapes = {"wx": [num_in, g * self.num_hidden],
+                       "wh": [self.num_hidden, g * self.num_hidden],
+                       "b": [1, g * self.num_hidden]}
+        self.params = {"wx": None, "wh": None, "b": None}
+        self._is_init = False
+        if num_in is not None:
+            self._init_parameters(num_in)
+
+    @property
+    def is_init(self):
+        return self._is_init
+
+    def _bias_data(self):
+        import jax.numpy as jnp
+
+        return jnp.zeros(tuple(self.shapes["b"]), dtype=jnp.float32)
+
+    def _init_parameters(self, input_size):
+        from tinynn_autograd_tpu.core.tensor import Tensor
+
+        self.shapes["wx"][0] = int(input_size)
+        with _init_scope(self._seed):
+            self.params["wx"] = self.initializers["wx"](self.shapes["wx"])
+            self.params["wh"] = self.initializers["wh"](self.shapes["wh"])
+        self.params["b"] = Tensor(self._bias_data(), requires_grad=True)
+        self._is_init = True
+
+    def init_params(self, input_shape):
+        if not self._is_init:
+            self._init_parameters(input_shape[-1])
+        if self.return_sequences:
+            return (input_shape[0], input_shape[1], self.num_hidden)
+        return (input_shape[0], self.num_hidden)
+
+    def _scan(self, inputs):
+        raise NotImplementedError
+
+    def forward(self, inputs):
+        if not self._is_init:
+            self._init_parameters(inputs.shape[-1])
+        hs = self._scan(inputs)
+        if self.return_sequences:
+            return hs
+        return hs[:, -1]
+
+
+class LSTM(_RecurrentBase):
+    """LSTM over [B, T, D] -> [B, H] (last hidden state) or [B, T, H]
+    (``return_sequences=True``). One ``ops.lstm_scan_`` tape primitive:
+    the whole recurrence is a single forward scan kernel plus a single
+    hand-written reverse-scan BPTT kernel — compile time and kernel count
+    independent of T (see ops/recurrent.py).
+
+    The forget-gate bias initializes to 1.0 (the standard
+    remember-by-default trick; gates fused in i, f, g, o order)."""
+
+    _GATES = 4
+
+    def __init__(self, num_hidden, num_in=None, return_sequences=False,
+                 w_init=None, u_init=None, seed=None):
+        super().__init__("LSTM", num_hidden, num_in=num_in,
+                         return_sequences=return_sequences,
+                         w_init=w_init, u_init=u_init, seed=seed)
+
+    def _bias_data(self):
+        import jax.numpy as jnp
+
+        h = self.num_hidden
+        return (jnp.zeros((1, 4 * h), dtype=jnp.float32)
+                .at[:, h:2 * h].set(1.0))
+
+    def _scan(self, inputs):
+        from tinynn_autograd_tpu.ops.recurrent import lstm_scan_
+
+        return lstm_scan_(inputs, self.params["wx"], self.params["wh"],
+                          self.params["b"])
+
+
+class GRU(_RecurrentBase):
+    """GRU over [B, T, D] -> [B, H] or [B, T, H] (``return_sequences``).
+    One ``ops.gru_scan_`` primitive (single-bias Cho et al. form, gates
+    fused in z, r, n order); same single-scan-each-way compilation story
+    as LSTM."""
+
+    _GATES = 3
+
+    def __init__(self, num_hidden, num_in=None, return_sequences=False,
+                 w_init=None, u_init=None, seed=None):
+        super().__init__("GRU", num_hidden, num_in=num_in,
+                         return_sequences=return_sequences,
+                         w_init=w_init, u_init=u_init, seed=seed)
+
+    def _scan(self, inputs):
+        from tinynn_autograd_tpu.ops.recurrent import gru_scan_
+
+        return gru_scan_(inputs, self.params["wx"], self.params["wh"],
+                         self.params["b"])
+
+
 class BatchNorm(Layer):
     """Batch normalization over the batch (and, for NHWC inputs, spatial)
     axes with learned per-feature gamma/beta (ops.batch_norm_, hand VJPs).

@@ -57,6 +57,7 @@ from tinynn_autograd_tpu.ops.primitives import (
     unbroadcast,
     where_,
 )
+from tinynn_autograd_tpu.ops.recurrent import gru_scan_, lstm_scan_
 from tinynn_autograd_tpu.ops.remat import remat_
 from tinynn_autograd_tpu.ops.ring_attention import ring_flash_attention_
 

@@ -1,0 +1,228 @@
+"""Recurrent sequence primitives: LSTM / GRU as single-scan tape edges.
+
+The reference framework has no recurrent machinery at all (its only model
+family is the MLP; reference core/ops.py tops out at 2-D matmul,
+core/ops.py:150), so this module is a TPU-native addition in the same
+spirit as ``dense_stack_``: the whole time recurrence is ONE primitive —
+forward is a single ``lax.scan`` over the time axis (one compiled cell
+kernel executed T times on-device, all four/three gates produced by one
+fused [B,D]x[D,4H] + [B,H]x[H,4H] MXU matmul pair per step) and the
+backward is the hand-written mirrored REVERSE scan (truncated-nowhere
+BPTT) that accumulates dWx/dWh/db in the scan carry. No ``jax.grad``
+anywhere; these are tape edges like every other primitive
+(ops/primitives.py).
+
+Why one primitive instead of a Python loop of Dense ops: a T-step
+recurrence as per-step tape nodes costs O(T) trace size, O(T) XLA
+kernels, and a Python-depth backward walk; as a scan pair it is two
+compiled kernels regardless of T, with the per-step activations stacked
+by the scan itself (the standard JAX recipe — compiler-friendly control
+flow, static shapes).
+
+Layout conventions (chosen for MXU friendliness):
+- inputs  x  : [B, T, D]   (batch-major at the API; transposed to the
+                            scan's [T, B, D] internally)
+- weights wx : [D, G*H], wh: [H, G*H], bias b: [1, G*H] where G is the
+  gate count (LSTM 4: i, f, g, o — input, forget, cell, output;
+  GRU 3: z, r, n — update, reset, candidate). Keeping the gates fused in
+  one trailing axis means each scan step is two large matmuls instead of
+  2*G small ones.
+- outputs    : the full hidden sequence [B, T, H]; callers wanting only
+  the last step slice it (the getitem_ scatter VJP routes the cotangent
+  correctly).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from tinynn_autograd_tpu.ops import kernels
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _split4(z):
+    h = z.shape[-1] // 4
+    return z[..., :h], z[..., h:2 * h], z[..., 2 * h:3 * h], z[..., 3 * h:]
+
+
+def _split3(z):
+    h = z.shape[-1] // 3
+    return z[..., :h], z[..., h:2 * h], z[..., 2 * h:]
+
+
+def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None):
+    """LSTM over [B, T, D] -> hidden sequence [B, T, H] as one tape edge.
+
+    Cell (gate order i, f, g, o; f32 math):
+
+        z = x_t @ wx + h @ wh + b          # one fused [.,4H] pair
+        i, f, o = sigmoid(z_i, z_f, z_o);  g = tanh(z_g)
+        c = f * c_prev + i * g
+        h = o * tanh(c)
+
+    ``h0``/``c0`` are optional Tensors [B, H] (zeros when omitted); if
+    they require grad, d h0 / d c0 flow out of the reverse scan's final
+    carry. Weight/bias/input cotangents come from the same reverse scan,
+    accumulated in-carry — the classic BPTT recurrence, executed as one
+    on-device kernel.
+    """
+    x, wx, wh, b = ts_x.data, ts_wx.data, ts_wh.data, ts_b.data
+    B = x.shape[0]
+    H = wh.shape[0]
+    h0a = jnp.zeros((B, H), x.dtype) if h0 is None else h0.data
+    c0a = jnp.zeros((B, H), x.dtype) if c0 is None else c0.data
+    xt = jnp.swapaxes(x, 0, 1)  # [T, B, D]
+
+    def fwd_body(carry, x_t):
+        h_prev, c_prev = carry
+        z = kernels.matmul(x_t, wx) + kernels.matmul(h_prev, wh) + b
+        zi, zf, zg, zo = _split4(z)
+        i = _sigmoid(zi)
+        f = _sigmoid(zf)
+        g = jnp.tanh(zg)
+        o = _sigmoid(zo)
+        c = f * c_prev + i * g
+        tc = jnp.tanh(c)
+        h = o * tc
+        return (h, c), (h, h_prev, c_prev, i, f, g, o, tc)
+
+    (_, _), saved = jax.lax.scan(fwd_body, (h0a, c0a), xt)
+    hs = saved[0]                      # [T, B, H]
+    out = jnp.swapaxes(hs, 0, 1)       # [B, T, H]
+
+    def joint_bwd(grad):
+        gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)  # [T, B, H]
+        zeros_bh = jnp.zeros((B, H), x.dtype)
+        acc0 = (jnp.zeros_like(wx), jnp.zeros_like(wh), jnp.zeros_like(b))
+
+        def bwd_body(carry, step):
+            dh_next, dc_next, (dwx, dwh, db) = carry
+            g_t, x_t, h_prev, c_prev, i, f, g_, o, tc = step
+            dh = g_t + dh_next
+            do = dh * tc
+            dc = dh * o * (1.0 - tc * tc) + dc_next
+            di = dc * g_
+            dg = dc * i
+            df = dc * c_prev
+            dc_prev = dc * f
+            dz = jnp.concatenate(
+                [di * i * (1.0 - i),
+                 df * f * (1.0 - f),
+                 dg * (1.0 - g_ * g_),
+                 do * o * (1.0 - o)], axis=-1)
+            dx_t = kernels.matmul(dz, wx.T)
+            dh_prev = kernels.matmul(dz, wh.T)
+            acc = (dwx + kernels.matmul(x_t.T, dz),
+                   dwh + kernels.matmul(h_prev.T, dz),
+                   db + dz.sum(axis=0, keepdims=True))
+            return (dh_prev, dc_prev, acc), dx_t
+
+        (dh0, dc0, (dwx, dwh, db)), dxs = jax.lax.scan(
+            bwd_body, (zeros_bh, zeros_bh, acc0),
+            (gt, xt, saved[1], saved[2], saved[3], saved[4], saved[5],
+             saved[6], saved[7]),
+            reverse=True)
+        return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, dc0
+
+    return _build_recurrent_node(
+        ts_x, ts_wx, ts_wh, ts_b, h0, c0, out, joint_bwd)
+
+
+def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None):
+    """GRU over [B, T, D] -> hidden sequence [B, T, H] as one tape edge.
+
+    Cell (gate order z, r, n; the single-bias formulation — the reset
+    gate multiplies the hidden CONTRIBUTION ``h @ wh_n``, matching the
+    classic Cho et al. form):
+
+        a = x_t @ wx + b;   u = h @ wh          # fused [., 3H] pairs
+        z = sigmoid(a_z + u_z)
+        r = sigmoid(a_r + u_r)
+        n = tanh(a_n + r * u_n)
+        h' = (1 - z) * n + z * h
+    """
+    x, wx, wh, b = ts_x.data, ts_wx.data, ts_wh.data, ts_b.data
+    B = x.shape[0]
+    H = wh.shape[0]
+    h0a = jnp.zeros((B, H), x.dtype) if h0 is None else h0.data
+    xt = jnp.swapaxes(x, 0, 1)
+
+    def fwd_body(h_prev, x_t):
+        a = kernels.matmul(x_t, wx) + b
+        u = kernels.matmul(h_prev, wh)
+        az, ar, an = _split3(a)
+        uz, ur, un = _split3(u)
+        z = _sigmoid(az + uz)
+        r = _sigmoid(ar + ur)
+        n = jnp.tanh(an + r * un)
+        h = (1.0 - z) * n + z * h_prev
+        return h, (h, h_prev, z, r, n, un)
+
+    _, saved = jax.lax.scan(fwd_body, h0a, xt)
+    hs = saved[0]
+    out = jnp.swapaxes(hs, 0, 1)
+
+    def joint_bwd(grad):
+        gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)
+        zeros_bh = jnp.zeros((B, H), x.dtype)
+        acc0 = (jnp.zeros_like(wx), jnp.zeros_like(wh), jnp.zeros_like(b))
+
+        def bwd_body(carry, step):
+            dh_next, (dwx, dwh, db) = carry
+            g_t, x_t, h_prev, z, r, n, un = step
+            dh = g_t + dh_next
+            dz_gate = dh * (h_prev - n)
+            dn = dh * (1.0 - z)
+            dh_prev = dh * z
+            dn_pre = dn * (1.0 - n * n)
+            dr = dn_pre * un
+            dun = dn_pre * r
+            daz = dz_gate * z * (1.0 - z)
+            dar = dr * r * (1.0 - r)
+            da = jnp.concatenate([daz, dar, dn_pre], axis=-1)
+            du = jnp.concatenate([daz, dar, dun], axis=-1)
+            dx_t = kernels.matmul(da, wx.T)
+            dh_prev = dh_prev + kernels.matmul(du, wh.T)
+            acc = (dwx + kernels.matmul(x_t.T, da),
+                   dwh + kernels.matmul(h_prev.T, du),
+                   db + da.sum(axis=0, keepdims=True))
+            return (dh_prev, acc), dx_t
+
+        (dh0, (dwx, dwh, db)), dxs = jax.lax.scan(
+            bwd_body, (zeros_bh, acc0),
+            (gt, xt, saved[1], saved[2], saved[3], saved[4], saved[5]),
+            reverse=True)
+        return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, None
+
+    return _build_recurrent_node(
+        ts_x, ts_wx, ts_wh, ts_b, h0, None, out, joint_bwd)
+
+
+def _build_recurrent_node(ts_x, ts_wx, ts_wh, ts_b, h0, c0, out, joint_bwd):
+    """Shared tape-node assembly: memoized joint backward (one reverse
+    scan per backward pass regardless of how many inputs require grad,
+    same strong-ref identity cache as dense_stack_), one dependency per
+    differentiable input."""
+    cache = []  # [grad_object, (dx, dwx, dwh, db, dh0, dc0)]
+
+    def memo(grad):
+        if not cache or cache[0] is not grad:
+            cache[:] = [grad, joint_bwd(grad)]
+        return cache[1]
+
+    parents = [(ts_x, 0), (ts_wx, 1), (ts_wh, 2), (ts_b, 3)]
+    if h0 is not None:
+        parents.append((h0, 4))
+    if c0 is not None:
+        parents.append((c0, 5))
+
+    dependency = []
+    requires_grad = False
+    for ts, slot in parents:
+        if ts is not None and ts.requires_grad:
+            requires_grad = True
+            dependency.append(
+                (ts, (lambda s: lambda g: memo(g)[s])(slot)))
+    return ts_x.__class__(out, requires_grad, dependency)
