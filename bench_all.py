@@ -408,6 +408,95 @@ def bench_transformer_long_dropout():
          oracle_rates)
 
 
+def _rnn_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
+    """EXTERNAL floor oracle for the recurrent config: a hand-written
+    pure-JAX (jax.grad through lax.scan) training step of the SAME stacked
+    LSTM classifier — weights copied from the net, same shuffle/scan/
+    one-dispatch amortization, same Adam rule. Locates the serial-recurrence
+    wall on this chip (the framework's backward is the hand-written reverse
+    scan; the oracle's is jax.grad's transpose of the forward scan —
+    identical dependency structure, so parity ~1.0 is the expected
+    at-the-wall result)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.nn.layers import LSTM, Dense
+
+    cells, head = [], None
+    for layer in net.layers:
+        if isinstance(layer, LSTM):
+            cells.append({k: v.data for k, v in layer.params.items()})
+        elif isinstance(layer, Dense):
+            head = {k: v.data for k, v in layer.params.items()}
+    params = {"cells": cells, "head": head}
+
+    def lstm_seq(x, lp):
+        hdim = lp["wh"].shape[0]
+        bsz = x.shape[0]
+
+        def body(carry, x_t):
+            h, c = carry
+            z = x_t @ lp["wx"] + h @ lp["wh"] + lp["b"]
+            i = jax.nn.sigmoid(z[:, :hdim])
+            f = jax.nn.sigmoid(z[:, hdim:2 * hdim])
+            g = jnp.tanh(z[:, 2 * hdim:3 * hdim])
+            o = jax.nn.sigmoid(z[:, 3 * hdim:])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        z0 = jnp.zeros((bsz, hdim), x.dtype)
+        (h_last, _), hs = jax.lax.scan(body, (z0, z0),
+                                       jnp.swapaxes(x, 0, 1))
+        return jnp.swapaxes(hs, 0, 1), h_last
+
+    def loss_fn(p, x, y):
+        h = x
+        for lp in p["cells"][:-1]:
+            h, _ = lstm_seq(h, lp)
+        _, h_last = lstm_seq(h, p["cells"][-1])
+        logits = h_last @ p["head"]["w"] + p["head"]["b"]
+        logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        return -((logits - logz) * y).sum(-1).mean()
+
+    return _oracle_run_rates(params, loss_fn, x_all, y_all, batch,
+                             n_epochs, lr)
+
+
+def bench_rnn():
+    """Config 8: stacked-LSTM sequence classifier (2x256 over T=128 D=64)
+    through the scanned one-dispatch tier, vs a same-run jax.grad oracle
+    of the identical model. The recurrence is latency-bound (two dependent
+    matmuls per time step, serial over T); both sides run the same scan
+    structure, so this measures the hand-BPTT tape against jax.grad's scan
+    transpose at the recurrence wall."""
+    from tinynn_autograd_tpu.models import build_rnn_classifier
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn import optimizer as opt
+    from tinynn_autograd_tpu.utils.datasets import one_hot
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    t, d, hdim, nout = 128, 64, 256, 16
+    batch, n_epochs, n_train = 64, 12, 2048
+    rng = np.random.RandomState(0)
+    tx = rng.randn(n_train, t, d).astype(np.float32)
+    ty = one_hot(rng.randint(0, nout, n_train), nout)
+
+    random_seed(0)
+    net = build_rnn_classifier(num_in=d, num_out=nout, hidden=(hdim, hdim),
+                               cell="lstm", seed=77)
+    m = Model(net, SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
+    x_dev, y_dev = m.stage(tx, ty)
+    rates = _time_epochs(m, x_dev, y_dev, batch, n_epochs, n_train // batch)
+
+    oracle_rates = _rnn_oracle_rates(net, tx, ty, batch, n_epochs, lr=1e-3)
+    floor_us = 1e6 / statistics.median(oracle_rates)
+    emit("lstm_stacked_cls_train_steps_per_sec", rates,
+         floor_us=round(floor_us, 1))
+    emit("lstm_stacked_cls_jaxgrad_oracle_steps_per_sec", oracle_rates)
+
+
 def main():
     from tinynn_autograd_tpu.models import (
         build_deep_mlp, build_mnist_cnn, build_mnist_mlp,
@@ -561,6 +650,9 @@ def main():
     # 6c. long-context WITH dropout (in-kernel hash-mask replay vs a
     # bernoulli-mask jax.grad oracle)
     bench_transformer_long_dropout()
+
+    # 8. recurrent family (scanned tier) + same-run jax.grad floor oracle
+    bench_rnn()
 
     # 7. north-star time-to-accuracy (BASELINE.json): seconds/epochs to
     # 97.5% test acc, post-compile, real MNIST when data/mnist.pkl.gz

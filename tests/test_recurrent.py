@@ -264,6 +264,34 @@ def test_stacked_rnn_classifier_converges():
     assert np.isfinite(loss)
 
 
+def test_recurrent_under_data_parallel_matches_single_device():
+    """The recurrence is per-example, so DP (grad psum of per-shard mean
+    losses) must track single-device training to float tolerance — the
+    lax.scan primitive traces cleanly inside the shard_map'd step."""
+    from tinynn_autograd_tpu.parallel import DataParallel, make_mesh
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((64, 5, 3)).astype(np.float32)
+    y = rng.standard_normal((64, 1)).astype(np.float32)
+
+    def build():
+        return Model(net=Net([layers.LSTM(8, num_in=3, seed=51),
+                              layers.Dense(1, num_in=8, seed=52)]),
+                     loss=losses.MSELoss(), optimizer=opt.SGD(lr=5e-2))
+
+    dp = DataParallel(build(), mesh=make_mesh(8))
+    single = build()
+    for _ in range(5):
+        dp.train_step(x, y)
+        single.train_step(x, y)
+
+    for layer_dp, layer_s in zip(dp._params, single._params):
+        for k in layer_dp:
+            np.testing.assert_allclose(
+                np.asarray(layer_dp[k]), np.asarray(layer_s[k]),
+                rtol=2e-4, atol=1e-5)
+
+
 def test_scanned_epoch_tier_handles_recurrent_nets():
     """train_epochs must route recurrent nets to the scanned tier (the
     megakernel/streaming tiers only admit their Dense-family bodies)."""
