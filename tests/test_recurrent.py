@@ -264,6 +264,32 @@ def test_stacked_rnn_classifier_converges():
     assert np.isfinite(loss)
 
 
+def test_remat_wrapped_lstm_matches_unwrapped():
+    """Remat(LSTM) must train identically to the unwrapped layer (the
+    recurrence is deterministic, so the recompute replays exactly); only
+    activation memory differs."""
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((16, 5, 3)).astype(np.float32)
+    y = rng.standard_normal((16, 1)).astype(np.float32)
+
+    def build(wrap):
+        seeder.random_seed(0)
+        rec = layers.LSTM(8, num_in=3, seed=61)
+        if wrap:
+            rec = layers.Remat(rec)
+        return Model(net=Net([rec, layers.Dense(1, num_in=8, seed=62)]),
+                     loss=losses.MSELoss(), optimizer=opt.Adam(lr=1e-2))
+
+    plain, wrapped = build(False), build(True)
+    for _ in range(4):
+        lp = float(plain.train_step(x, y))
+        lw = float(wrapped.train_step(x, y))
+        np.testing.assert_allclose(lw, lp, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(wrapped.forward(Tensor(x)).data),
+        np.asarray(plain.forward(Tensor(x)).data), rtol=1e-6, atol=1e-7)
+
+
 def test_recurrent_under_data_parallel_matches_single_device():
     """The recurrence is per-example, so DP (grad psum of per-shard mean
     losses) must track single-device training to float tolerance — the
