@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--seq_len", type=int, default=32)
     parser.add_argument("--hidden", type=int, default=64)
     parser.add_argument("--cell", choices=["lstm", "gru"], default="lstm")
+    parser.add_argument("--bi", action="store_true",
+                        help="bidirectional recurrence (forward + "
+                             "reverse-time twin, features concatenated)")
     parser.add_argument("--lr", type=float, default=1e-2)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -57,8 +60,20 @@ def main():
         y = (vals * marks).sum(axis=1, keepdims=True)  # [n, 1]
         return x, y
 
-    net = build_rnn_classifier(num_in=2, num_out=1, hidden=(args.hidden,),
-                               cell=args.cell, seed=args.seed)
+    if args.bi:
+        from tinynn_autograd_tpu.nn.layers import (
+            Bidirectional, Dense, LSTM, GRU,
+        )
+        from tinynn_autograd_tpu.nn.net import Net
+
+        cell_cls = {"lstm": LSTM, "gru": GRU}[args.cell]
+        net = Net([Bidirectional(cell_cls(args.hidden, num_in=2,
+                                          seed=args.seed)),
+                   Dense(1, num_in=2 * args.hidden, seed=args.seed + 1)])
+    else:
+        net = build_rnn_classifier(num_in=2, num_out=1,
+                                   hidden=(args.hidden,),
+                                   cell=args.cell, seed=args.seed)
     model = Model(net, MSELoss(), Adam(args.lr))
 
     # the trivial predict-the-mean baseline has MSE = Var[y] ~ 0.167;

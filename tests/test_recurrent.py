@@ -192,6 +192,108 @@ def test_lazy_init_from_first_input():
     assert out.shape == (2, H)
 
 
+# ------------------------------------------------- reverse + bidirectional
+
+
+@pytest.mark.parametrize("which", ["lstm", "gru"])
+def test_reverse_scan_equals_flip_run_flip(which):
+    """reverse=True must equal: flip the input in time, run the forward
+    recurrence, flip the output back (same weights)."""
+    gates = 4 if which == "lstm" else 3
+    scan_fn = lstm_scan_ if which == "lstm" else gru_scan_
+    x, wx, wh, b = _params(gates, seed=6)
+    rev = scan_fn(Tensor(x), Tensor(wx), Tensor(wh), Tensor(b),
+                  reverse=True)
+    flip = scan_fn(Tensor(x[:, ::-1]), Tensor(wx), Tensor(wh), Tensor(b))
+    np.testing.assert_allclose(np.asarray(rev.data),
+                               np.asarray(flip.data)[:, ::-1],
+                               rtol=0, atol=1e-6)
+
+
+def test_reverse_grads_match_jax_grad_oracle():
+    x, wx, wh, b = _params(4, seed=7)
+    rng = np.random.default_rng(8)
+    cot = _rand(rng, B, T, H)
+
+    def scalar(x_, wx_, wh_, b_):
+        # the flip-run-flip definition of the reverse recurrence
+        out = _lstm_ref(x_[:, ::-1], wx_, wh_, b_)[:, ::-1]
+        return jnp.sum(out * cot)
+
+    oracle = jax.grad(scalar, argnums=(0, 1, 2, 3))(x, wx, wh, b)
+    tx, twx, twh, tb = (Tensor(x, requires_grad=True),
+                        Tensor(wx, requires_grad=True),
+                        Tensor(wh, requires_grad=True),
+                        Tensor(b, requires_grad=True))
+    out = lstm_scan_(tx, twx, twh, tb, reverse=True)
+    out.backward(Tensor(cot))
+    for got, want in zip((tx.grad, twx.grad, twh.grad, tb.grad), oracle):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_bidirectional_shapes_and_semantics():
+    seeder.random_seed(0)
+    bi_seq = layers.Bidirectional(
+        layers.LSTM(H, num_in=D, return_sequences=True, seed=71))
+    bi_last = layers.Bidirectional(
+        layers.LSTM(H, num_in=D, return_sequences=False, seed=71))
+    # same draws for the twin: copy params across
+    for k in bi_seq.params.keys():
+        bi_last.params[k] = bi_seq.params[k]
+    x = Tensor(_rand(np.random.default_rng(4), B, T, D))
+    seq = bi_seq.forward(x)
+    last = bi_last.forward(x)
+    assert seq.shape == (B, T, 2 * H)
+    assert last.shape == (B, 2 * H)
+    # keras convention: fwd cell's LAST step ++ bwd cell's FIRST step
+    np.testing.assert_allclose(np.asarray(last.data[:, :H]),
+                               np.asarray(seq.data[:, -1, :H]), atol=0)
+    np.testing.assert_allclose(np.asarray(last.data[:, H:]),
+                               np.asarray(seq.data[:, 0, H:]), atol=0)
+
+
+def test_bidirectional_trains_and_checkpoints(tmp_path):
+    """The merged f_*/b_* param view must flow through the fused train
+    step, the optimizer, and save/load unchanged."""
+    seeder.random_seed(0)
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((32, 4, 3)).astype(np.float32)
+    y = rng.standard_normal((32, 1)).astype(np.float32)
+    model = Model(net=Net([layers.Bidirectional(layers.LSTM(6, seed=81)),
+                           layers.Dense(1, seed=82)]),
+                  loss=losses.MSELoss(), optimizer=opt.Adam(lr=1e-2))
+    first = None
+    for _ in range(60):
+        loss = float(model.train_step(x, y))
+        if first is None:
+            first = loss
+    assert loss < 0.5 * first, (first, loss)
+
+    pred_before = np.asarray(model.forward(Tensor(x)).data)
+    path = str(tmp_path / "bi.ckpt")
+    model.save(path)
+    model2 = Model(net=Net([layers.Bidirectional(
+                                layers.LSTM(6, num_in=3, seed=0)),
+                            layers.Dense(1, num_in=12, seed=0)]),
+                   loss=losses.MSELoss(), optimizer=opt.Adam(lr=1e-2))
+    model2.load(path)
+    np.testing.assert_allclose(np.asarray(model2.forward(Tensor(x)).data),
+                               pred_before, rtol=0, atol=1e-6)
+
+
+def test_bidirectional_rejects_misconfigured_layers():
+    with pytest.raises(ValueError):
+        layers.Bidirectional(layers.LSTM(4, reverse=True))
+    with pytest.raises(ValueError):
+        layers.Bidirectional(layers.LSTM(4),
+                             backward_layer=layers.LSTM(4))  # not reverse
+    with pytest.raises(ValueError):
+        layers.Bidirectional(
+            layers.LSTM(4, return_sequences=True),
+            backward_layer=layers.LSTM(4, reverse=True))
+
+
 # -------------------------------------------------------- model training
 
 

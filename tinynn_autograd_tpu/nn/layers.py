@@ -481,10 +481,11 @@ class _RecurrentBase(Layer):
     _GATES = None  # subclass: number of fused gates G
 
     def __init__(self, name, num_hidden, num_in=None, return_sequences=False,
-                 w_init=None, u_init=None, seed=None):
+                 w_init=None, u_init=None, seed=None, reverse=False):
         super().__init__(name)
         self.num_hidden = int(num_hidden)
         self.return_sequences = return_sequences
+        self.reverse = reverse
         self._seed = seed
         self.initializers = {
             "wx": w_init if w_init is not None else XavierUniformInit(),
@@ -534,7 +535,9 @@ class _RecurrentBase(Layer):
         hs = self._scan(inputs)
         if self.return_sequences:
             return hs
-        return hs[:, -1]
+        # a reverse-direction cell's final state sits at position 0
+        # (outputs stay aligned to input positions; see ops/recurrent.py)
+        return hs[:, 0] if self.reverse else hs[:, -1]
 
 
 class LSTM(_RecurrentBase):
@@ -550,10 +553,11 @@ class LSTM(_RecurrentBase):
     _GATES = 4
 
     def __init__(self, num_hidden, num_in=None, return_sequences=False,
-                 w_init=None, u_init=None, seed=None):
+                 w_init=None, u_init=None, seed=None, reverse=False):
         super().__init__("LSTM", num_hidden, num_in=num_in,
                          return_sequences=return_sequences,
-                         w_init=w_init, u_init=u_init, seed=seed)
+                         w_init=w_init, u_init=u_init, seed=seed,
+                         reverse=reverse)
 
     def _bias_data(self):
         import jax.numpy as jnp
@@ -566,7 +570,7 @@ class LSTM(_RecurrentBase):
         from tinynn_autograd_tpu.ops.recurrent import lstm_scan_
 
         return lstm_scan_(inputs, self.params["wx"], self.params["wh"],
-                          self.params["b"])
+                          self.params["b"], reverse=self.reverse)
 
 
 class GRU(_RecurrentBase):
@@ -578,16 +582,129 @@ class GRU(_RecurrentBase):
     _GATES = 3
 
     def __init__(self, num_hidden, num_in=None, return_sequences=False,
-                 w_init=None, u_init=None, seed=None):
+                 w_init=None, u_init=None, seed=None, reverse=False):
         super().__init__("GRU", num_hidden, num_in=num_in,
                          return_sequences=return_sequences,
-                         w_init=w_init, u_init=u_init, seed=seed)
+                         w_init=w_init, u_init=u_init, seed=seed,
+                         reverse=reverse)
 
     def _scan(self, inputs):
         from tinynn_autograd_tpu.ops.recurrent import gru_scan_
 
         return gru_scan_(inputs, self.params["wx"], self.params["wh"],
-                         self.params["b"])
+                         self.params["b"], reverse=self.reverse)
+
+
+class _TwoWayParams:
+    """Write-through merged view over the two direction layers' param
+    dicts: keys are ``f_<name>`` / ``b_<name>``. Net/Model only ever use
+    the mapping surface below (keys/values/items/get/set), and
+    ``params_tree`` copies it into plain dicts, so checkpoints and the
+    jitted tiers see ordinary pytrees."""
+
+    def __init__(self, fwd, bwd):
+        self._fwd, self._bwd = fwd, bwd
+
+    def _route(self, key):
+        side, name = key.split("_", 1)
+        return (self._fwd if side == "f" else self._bwd).params, name
+
+    def keys(self):
+        return ([("f_%s" % k) for k in self._fwd.params]
+                + [("b_%s" % k) for k in self._bwd.params])
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def __getitem__(self, key):
+        inner, name = self._route(key)
+        return inner[name]
+
+    def __setitem__(self, key, value):
+        inner, name = self._route(key)
+        inner[name] = value
+
+    def items(self):
+        return [(k, self[k]) for k in self.keys()]
+
+    def values(self):
+        return [self[k] for k in self.keys()]
+
+    def __eq__(self, other):
+        return dict(self.items()) == dict(
+            other.items() if hasattr(other, "items") else other)
+
+
+class Bidirectional(Layer):
+    """Bidirectional wrapper over a recurrent layer (LSTM/GRU): runs the
+    wrapped cell forward in time and an independent twin backward in time
+    (``reverse=True`` on the scan primitive — the BPTT scan simply flips
+    direction, see ops/recurrent.py), concatenating the two outputs on
+    the feature axis. Output: [B, T, 2H] with ``return_sequences=True``
+    on the wrapped layer, else [B, 2H] (forward cell's last state ++
+    backward cell's state at position 0 — the Keras convention).
+
+    ``backward_layer`` defaults to a fresh twin of the wrapped layer
+    (same class/width/return_sequences, its own init draw). Params are
+    exposed as a write-through merged dict (keys ``f_*`` / ``b_*``) so
+    optimizers, checkpointing, and the jitted tiers see one ordinary
+    layer. No reference counterpart (the reference has no recurrent
+    machinery at all)."""
+
+    def __init__(self, forward_layer, backward_layer=None):
+        if forward_layer.reverse:
+            raise ValueError("Bidirectional's wrapped layer must run "
+                             "forward (reverse=False); the wrapper builds "
+                             "the reverse twin itself.")
+        if backward_layer is None:
+            seed = forward_layer._seed
+            num_in = (forward_layer.shapes["wx"][0]
+                      if forward_layer.is_init else None)
+            backward_layer = type(forward_layer)(
+                forward_layer.num_hidden, num_in=num_in,
+                return_sequences=forward_layer.return_sequences,
+                seed=None if seed is None else seed + 0x9E37,
+                reverse=True)
+        else:
+            if not backward_layer.reverse:
+                raise ValueError("backward_layer must have reverse=True")
+            if (backward_layer.return_sequences
+                    != forward_layer.return_sequences):
+                raise ValueError("forward/backward return_sequences differ")
+        # fwd/bwd must exist before super().__init__: the base assigns
+        # ``self.params = {}`` which routes through the property setter
+        self.fwd = forward_layer
+        self.bwd = backward_layer
+        super().__init__("Bidirectional(%s)" % forward_layer.name)
+
+    @property
+    def params(self):
+        return _TwoWayParams(self.fwd, self.bwd)
+
+    @params.setter
+    def params(self, value):
+        view = _TwoWayParams(self.fwd, self.bwd)
+        for k in value.keys():
+            view[k] = value[k]
+
+    @property
+    def is_init(self):
+        return self.fwd.is_init and self.bwd.is_init
+
+    def init_params(self, input_shape):
+        self.fwd.init_params(input_shape)
+        out = self.bwd.init_params(input_shape)
+        return tuple(out[:-1]) + (2 * out[-1],)
+
+    def set_phase(self, phase):
+        self.fwd.set_phase(phase)
+        self.bwd.set_phase(phase)
+        super().set_phase(phase)
+
+    def forward(self, inputs):
+        out_f = self.fwd.forward(inputs)
+        out_b = self.bwd.forward(inputs)
+        return ops.concat_([out_f, out_b], axis=-1)
 
 
 class BatchNorm(Layer):

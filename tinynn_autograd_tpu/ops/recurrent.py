@@ -52,7 +52,7 @@ def _split3(z):
     return z[..., :h], z[..., h:2 * h], z[..., 2 * h:]
 
 
-def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None):
+def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None, reverse=False):
     """LSTM over [B, T, D] -> hidden sequence [B, T, H] as one tape edge.
 
     Cell (gate order i, f, g, o; f32 math):
@@ -67,6 +67,13 @@ def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None):
     carry. Weight/bias/input cotangents come from the same reverse scan,
     accumulated in-carry — the classic BPTT recurrence, executed as one
     on-device kernel.
+
+    ``reverse=True`` runs the recurrence backwards in time (h_t depends
+    on x_t and h_{t+1}); outputs stay aligned to their input positions
+    (out[:, t] is the state after consuming x[:, t:] right-to-left) —
+    the backward-direction half of a bidirectional RNN. The BPTT scan
+    then simply runs in the opposite (forward) direction; the math is
+    direction-symmetric.
     """
     x, wx, wh, b = ts_x.data, ts_wx.data, ts_wh.data, ts_b.data
     B = x.shape[0]
@@ -88,7 +95,7 @@ def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None):
         h = o * tc
         return (h, c), (h, h_prev, c_prev, i, f, g, o, tc)
 
-    (_, _), saved = jax.lax.scan(fwd_body, (h0a, c0a), xt)
+    (_, _), saved = jax.lax.scan(fwd_body, (h0a, c0a), xt, reverse=reverse)
     hs = saved[0]                      # [T, B, H]
     out = jnp.swapaxes(hs, 0, 1)       # [B, T, H]
 
@@ -123,14 +130,14 @@ def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None):
             bwd_body, (zeros_bh, zeros_bh, acc0),
             (gt, xt, saved[1], saved[2], saved[3], saved[4], saved[5],
              saved[6], saved[7]),
-            reverse=True)
+            reverse=not reverse)
         return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, dc0
 
     return _build_recurrent_node(
         ts_x, ts_wx, ts_wh, ts_b, h0, c0, out, joint_bwd)
 
 
-def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None):
+def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, reverse=False):
     """GRU over [B, T, D] -> hidden sequence [B, T, H] as one tape edge.
 
     Cell (gate order z, r, n; the single-bias formulation — the reset
@@ -142,6 +149,9 @@ def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None):
         r = sigmoid(a_r + u_r)
         n = tanh(a_n + r * u_n)
         h' = (1 - z) * n + z * h
+
+    ``reverse=True``: backward-in-time recurrence, outputs aligned to
+    input positions (see lstm_scan_).
     """
     x, wx, wh, b = ts_x.data, ts_wx.data, ts_wh.data, ts_b.data
     B = x.shape[0]
@@ -160,7 +170,7 @@ def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None):
         h = (1.0 - z) * n + z * h_prev
         return h, (h, h_prev, z, r, n, un)
 
-    _, saved = jax.lax.scan(fwd_body, h0a, xt)
+    _, saved = jax.lax.scan(fwd_body, h0a, xt, reverse=reverse)
     hs = saved[0]
     out = jnp.swapaxes(hs, 0, 1)
 
@@ -193,7 +203,7 @@ def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None):
         (dh0, (dwx, dwh, db)), dxs = jax.lax.scan(
             bwd_body, (zeros_bh, acc0),
             (gt, xt, saved[1], saved[2], saved[3], saved[4], saved[5]),
-            reverse=True)
+            reverse=not reverse)
         return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, None
 
     return _build_recurrent_node(
