@@ -4,13 +4,20 @@ The reference framework has no recurrent machinery at all (its only model
 family is the MLP; reference core/ops.py tops out at 2-D matmul,
 core/ops.py:150), so this module is a TPU-native addition in the same
 spirit as ``dense_stack_``: the whole time recurrence is ONE primitive —
-forward is a single ``lax.scan`` over the time axis (one compiled cell
-kernel executed T times on-device, all four/three gates produced by one
-fused [B,D]x[D,4H] + [B,H]x[H,4H] MXU matmul pair per step) and the
-backward is the hand-written mirrored REVERSE scan (truncated-nowhere
-BPTT) that accumulates dWx/dWh/db in the scan carry. No ``jax.grad``
-anywhere; these are tape edges like every other primitive
+forward is a single ``lax.scan`` over the time axis and the backward is
+the hand-written mirrored REVERSE scan (truncated-nowhere BPTT). No
+``jax.grad`` anywhere; these are tape edges like every other primitive
 (ops/primitives.py).
+
+Both directions use the cuDNN-style restructuring: everything that does
+not depend on the recurrence is hoisted OUT of the scan into big batched
+MXU matmuls — forward computes the input projection for all steps as one
+[T*B, D] x [D, G*H] matmul, backward emits the per-step gate cotangents
+from the scan and computes dWx/dWh/dX/db as three [T*B, .] matmuls after
+it. The serial chain is then exactly one [B, H] x [H, G*H] matmul per
+step each way (the recurrence's true dependency), which is what binds
+the config on TPU (BENCHMARKS.md: ~1.75us per dependent matmul at XLA
+kernel granularity).
 
 Why one primitive instead of a Python loop of Dense ops: a T-step
 recurrence as per-step tape nodes costs O(T) trace size, O(T) XLA
@@ -76,15 +83,23 @@ def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None, reverse=False):
     direction-symmetric.
     """
     x, wx, wh, b = ts_x.data, ts_wx.data, ts_wh.data, ts_b.data
-    B = x.shape[0]
+    B, T = x.shape[0], x.shape[1]
+    D = x.shape[2]
     H = wh.shape[0]
     h0a = jnp.zeros((B, H), x.dtype) if h0 is None else h0.data
     c0a = jnp.zeros((B, H), x.dtype) if c0 is None else c0.data
     xt = jnp.swapaxes(x, 0, 1)  # [T, B, D]
 
-    def fwd_body(carry, x_t):
+    # hoist the input projection out of the scan: ONE [T*B, D] x [D, 4H]
+    # MXU matmul for all steps (the cuDNN-style restructuring) — only the
+    # [B, H] x [H, 4H] hidden matmul remains on the serial chain, halving
+    # the dependent-matmul count per step
+    xp = (kernels.matmul(xt.reshape(T * B, D), wx) + b).reshape(T, B, 4 * H)
+
+    def fwd_body(carry, step):
         h_prev, c_prev = carry
-        z = kernels.matmul(x_t, wx) + kernels.matmul(h_prev, wh) + b
+        xp_t = step
+        z = xp_t + kernels.matmul(h_prev, wh)
         zi, zf, zg, zo = _split4(z)
         i = _sigmoid(zi)
         f = _sigmoid(zf)
@@ -95,18 +110,20 @@ def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None, reverse=False):
         h = o * tc
         return (h, c), (h, h_prev, c_prev, i, f, g, o, tc)
 
-    (_, _), saved = jax.lax.scan(fwd_body, (h0a, c0a), xt, reverse=reverse)
+    (_, _), saved = jax.lax.scan(fwd_body, (h0a, c0a), xp, reverse=reverse)
     hs = saved[0]                      # [T, B, H]
     out = jnp.swapaxes(hs, 0, 1)       # [B, T, H]
 
     def joint_bwd(grad):
         gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)  # [T, B, H]
         zeros_bh = jnp.zeros((B, H), x.dtype)
-        acc0 = (jnp.zeros_like(wx), jnp.zeros_like(wh), jnp.zeros_like(b))
 
+        # the scan carries only (dh, dc) and emits dz per step — ONE
+        # serial matmul (dz @ wh.T) on the chain; the weight/input/bias
+        # cotangents are three big batched matmuls AFTER the scan
         def bwd_body(carry, step):
-            dh_next, dc_next, (dwx, dwh, db) = carry
-            g_t, x_t, h_prev, c_prev, i, f, g_, o, tc = step
+            dh_next, dc_next = carry
+            g_t, c_prev, i, f, g_, o, tc = step
             dh = g_t + dh_next
             do = dh * tc
             dc = dh * o * (1.0 - tc * tc) + dc_next
@@ -119,18 +136,19 @@ def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None, reverse=False):
                  df * f * (1.0 - f),
                  dg * (1.0 - g_ * g_),
                  do * o * (1.0 - o)], axis=-1)
-            dx_t = kernels.matmul(dz, wx.T)
             dh_prev = kernels.matmul(dz, wh.T)
-            acc = (dwx + kernels.matmul(x_t.T, dz),
-                   dwh + kernels.matmul(h_prev.T, dz),
-                   db + dz.sum(axis=0, keepdims=True))
-            return (dh_prev, dc_prev, acc), dx_t
+            return (dh_prev, dc_prev), dz
 
-        (dh0, dc0, (dwx, dwh, db)), dxs = jax.lax.scan(
-            bwd_body, (zeros_bh, zeros_bh, acc0),
-            (gt, xt, saved[1], saved[2], saved[3], saved[4], saved[5],
-             saved[6], saved[7]),
+        (dh0, dc0), dzs = jax.lax.scan(
+            bwd_body, (zeros_bh, zeros_bh),
+            (gt, saved[2], saved[3], saved[4], saved[5], saved[6],
+             saved[7]),
             reverse=not reverse)
+        dz_flat = dzs.reshape(T * B, 4 * H)
+        dxs = kernels.matmul(dz_flat, wx.T).reshape(T, B, D)
+        dwx = kernels.matmul(xt.reshape(T * B, D).T, dz_flat)
+        dwh = kernels.matmul(saved[1].reshape(T * B, H).T, dz_flat)
+        db = dz_flat.sum(axis=0, keepdims=True)
         return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, dc0
 
     return _build_recurrent_node(
@@ -154,15 +172,19 @@ def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, reverse=False):
     input positions (see lstm_scan_).
     """
     x, wx, wh, b = ts_x.data, ts_wx.data, ts_wh.data, ts_b.data
-    B = x.shape[0]
+    B, T = x.shape[0], x.shape[1]
+    D = x.shape[2]
     H = wh.shape[0]
     h0a = jnp.zeros((B, H), x.dtype) if h0 is None else h0.data
     xt = jnp.swapaxes(x, 0, 1)
 
-    def fwd_body(h_prev, x_t):
-        a = kernels.matmul(x_t, wx) + b
+    # hoisted input projection (see lstm_scan_): all T input matmuls as
+    # ONE [T*B, D] x [D, 3H] matmul; only h @ wh stays on the serial chain
+    ap = (kernels.matmul(xt.reshape(T * B, D), wx) + b).reshape(T, B, 3 * H)
+
+    def fwd_body(h_prev, a_t):
         u = kernels.matmul(h_prev, wh)
-        az, ar, an = _split3(a)
+        az, ar, an = _split3(a_t)
         uz, ur, un = _split3(u)
         z = _sigmoid(az + uz)
         r = _sigmoid(ar + ur)
@@ -170,22 +192,21 @@ def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, reverse=False):
         h = (1.0 - z) * n + z * h_prev
         return h, (h, h_prev, z, r, n, un)
 
-    _, saved = jax.lax.scan(fwd_body, h0a, xt, reverse=reverse)
+    _, saved = jax.lax.scan(fwd_body, h0a, ap, reverse=reverse)
     hs = saved[0]
     out = jnp.swapaxes(hs, 0, 1)
 
     def joint_bwd(grad):
         gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)
         zeros_bh = jnp.zeros((B, H), x.dtype)
-        acc0 = (jnp.zeros_like(wx), jnp.zeros_like(wh), jnp.zeros_like(b))
 
-        def bwd_body(carry, step):
-            dh_next, (dwx, dwh, db) = carry
-            g_t, x_t, h_prev, z, r, n, un = step
+        # scan emits (da, du) per step; dwx/dwh/dx/db are batched
+        # post-scan matmuls — one serial matmul (du @ wh.T) on the chain
+        def bwd_body(dh_next, step):
+            g_t, h_prev, z, r, n, un = step
             dh = g_t + dh_next
             dz_gate = dh * (h_prev - n)
             dn = dh * (1.0 - z)
-            dh_prev = dh * z
             dn_pre = dn * (1.0 - n * n)
             dr = dn_pre * un
             dun = dn_pre * r
@@ -193,17 +214,19 @@ def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, reverse=False):
             dar = dr * r * (1.0 - r)
             da = jnp.concatenate([daz, dar, dn_pre], axis=-1)
             du = jnp.concatenate([daz, dar, dun], axis=-1)
-            dx_t = kernels.matmul(da, wx.T)
-            dh_prev = dh_prev + kernels.matmul(du, wh.T)
-            acc = (dwx + kernels.matmul(x_t.T, da),
-                   dwh + kernels.matmul(h_prev.T, du),
-                   db + da.sum(axis=0, keepdims=True))
-            return (dh_prev, acc), dx_t
+            dh_prev = dh * z + kernels.matmul(du, wh.T)
+            return dh_prev, (da, du)
 
-        (dh0, (dwx, dwh, db)), dxs = jax.lax.scan(
-            bwd_body, (zeros_bh, acc0),
-            (gt, xt, saved[1], saved[2], saved[3], saved[4], saved[5]),
+        dh0, (das, dus) = jax.lax.scan(
+            bwd_body, zeros_bh,
+            (gt, saved[1], saved[2], saved[3], saved[4], saved[5]),
             reverse=not reverse)
+        da_flat = das.reshape(T * B, 3 * H)
+        du_flat = dus.reshape(T * B, 3 * H)
+        dxs = kernels.matmul(da_flat, wx.T).reshape(T, B, D)
+        dwx = kernels.matmul(xt.reshape(T * B, D).T, da_flat)
+        dwh = kernels.matmul(saved[1].reshape(T * B, H).T, du_flat)
+        db = da_flat.sum(axis=0, keepdims=True)
         return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, None
 
     return _build_recurrent_node(
