@@ -192,6 +192,82 @@ def test_lazy_init_from_first_input():
     assert out.shape == (2, H)
 
 
+# --------------------------------------------- pallas recurrence kernels
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_pallas_kernel_matches_xla_path(reverse):
+    """The in-kernel recurrence (ops/recurrent_kernel.py, interpret mode
+    on CPU) must match the XLA-scan path: forward values and every
+    cotangent (x, wx, wh, b, h0, c0)."""
+    Bk, Tk, Dk, Hk = 8, 6, 4, 128  # B%8==0, H%128==0 (kernel tiling)
+    rng = np.random.default_rng(21)
+    x = _rand(rng, Bk, Tk, Dk)
+    wx = _rand(rng, Dk, 4 * Hk) * 0.3
+    wh = _rand(rng, Hk, 4 * Hk) * 0.3
+    b = _rand(rng, 1, 4 * Hk) * 0.1
+    h0 = _rand(rng, Bk, Hk) * 0.5
+    c0 = _rand(rng, Bk, Hk) * 0.5
+    cot = _rand(rng, Bk, Tk, Hk)
+
+    def run(impl):
+        tx, twx, twh, tb, th0, tc0 = (
+            Tensor(x, requires_grad=True), Tensor(wx, requires_grad=True),
+            Tensor(wh, requires_grad=True), Tensor(b, requires_grad=True),
+            Tensor(h0, requires_grad=True), Tensor(c0, requires_grad=True))
+        out = lstm_scan_(tx, twx, twh, tb, h0=th0, c0=tc0,
+                         reverse=reverse, impl=impl)
+        out.backward(Tensor(cot))
+        return (np.asarray(out.data),
+                [np.asarray(t.grad)
+                 for t in (tx, twx, twh, tb, th0, tc0)])
+
+    out_x, grads_x = run("xla")
+    out_p, grads_p = run("pallas_interpret")
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-6, atol=1e-6)
+    for gp, gx in zip(grads_p, grads_x):
+        # in-kernel dot vs XLA matmul: float reassociation only
+        np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=5e-6)
+
+
+def test_lstm_pallas_kernel_multi_chunk_grid():
+    """T larger than one chunk: the scratch carry must flow across grid
+    steps in both kernels (forward h/c, backward dh/dc)."""
+    import tinynn_autograd_tpu.ops.recurrent_kernel as rk
+
+    Bk, Tk, Dk, Hk = 8, 12, 4, 128
+    # force a small chunk so the grid has several steps
+    orig = rk._VMEM_BUDGET
+    rk._VMEM_BUDGET = 2 * 3 * 11 * Bk * Hk * 4 + Hk * 4 * Hk * 4 + 4 * Bk * Hk * 4
+    try:
+        assert rk._pick_chunk(Tk, Bk, Hk, n_streams=11) < Tk
+        rng = np.random.default_rng(22)
+        x = _rand(rng, Bk, Tk, Dk)
+        wx = _rand(rng, Dk, 4 * Hk) * 0.3
+        wh = _rand(rng, Hk, 4 * Hk) * 0.3
+        b = _rand(rng, 1, 4 * Hk) * 0.1
+        cot = _rand(rng, Bk, Tk, Hk)
+
+        def run(impl):
+            tx, twx, twh, tb = (
+                Tensor(x, requires_grad=True),
+                Tensor(wx, requires_grad=True),
+                Tensor(wh, requires_grad=True),
+                Tensor(b, requires_grad=True))
+            out = lstm_scan_(tx, twx, twh, tb, impl=impl)
+            out.backward(Tensor(cot))
+            return (np.asarray(out.data),
+                    [np.asarray(t.grad) for t in (tx, twx, twh, tb)])
+
+        out_x, grads_x = run("xla")
+        out_p, grads_p = run("pallas_interpret")
+        np.testing.assert_allclose(out_p, out_x, rtol=1e-6, atol=1e-6)
+        for gp, gx in zip(grads_p, grads_x):
+            np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=5e-6)
+    finally:
+        rk._VMEM_BUDGET = orig
+
+
 # ------------------------------------------------- reverse + bidirectional
 
 

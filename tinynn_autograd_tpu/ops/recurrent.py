@@ -39,10 +39,31 @@ Layout conventions (chosen for MXU friendliness):
   correctly).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from tinynn_autograd_tpu.ops import kernels
+
+
+def _resolve_impl(impl, T, B, H, dtype):
+    """auto -> in-kernel Pallas recurrence on TPU when the shape tiles
+    (ops/recurrent_kernel.py), XLA scan otherwise. Override per call
+    (impl=) or globally (TINYNN_TPU_RNN_IMPL = pallas | pallas_interpret
+    | xla)."""
+    if impl is None:
+        impl = os.environ.get("TINYNN_TPU_RNN_IMPL")
+    if impl in ("pallas", "pallas_interpret", "xla"):
+        return impl
+    from tinynn_autograd_tpu.ops import recurrent_kernel as rk
+
+    if (kernels._default_backend() == "tpu"
+            and not os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
+            and rk.supports(B, H, dtype)
+            and rk.pickable(T, B, H)):
+        return "pallas"
+    return "xla"
 
 
 def _sigmoid(x):
@@ -59,7 +80,8 @@ def _split3(z):
     return z[..., :h], z[..., h:2 * h], z[..., 2 * h:]
 
 
-def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None, reverse=False):
+def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None, reverse=False,
+               impl=None):
     """LSTM over [B, T, D] -> hidden sequence [B, T, H] as one tape edge.
 
     Cell (gate order i, f, g, o; f32 math):
@@ -95,6 +117,37 @@ def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None, reverse=False):
     # [B, H] x [H, 4H] hidden matmul remains on the serial chain, halving
     # the dependent-matmul count per step
     xp = (kernels.matmul(xt.reshape(T * B, D), wx) + b).reshape(T, B, 4 * H)
+
+    impl = _resolve_impl(impl, T, B, H, x.dtype)
+    if impl != "xla":
+        from tinynn_autograd_tpu.ops import recurrent_kernel as rk
+
+        interp = impl == "pallas_interpret"
+        hs, cs, gates = rk.lstm_fwd_pallas(xp, wh, h0a, c0a,
+                                           reverse=reverse,
+                                           interpret=interp)
+        out = jnp.swapaxes(hs, 0, 1)
+
+        def joint_bwd(grad):
+            gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)
+            if reverse:
+                cprev = jnp.concatenate([cs[1:], c0a[None]], axis=0)
+                hprev = jnp.concatenate([hs[1:], h0a[None]], axis=0)
+            else:
+                cprev = jnp.concatenate([c0a[None], cs[:-1]], axis=0)
+                hprev = jnp.concatenate([h0a[None], hs[:-1]], axis=0)
+            dzs, dh0, dc0 = rk.lstm_bwd_pallas(gt, gates, cs, cprev,
+                                               wh.T, reverse=reverse,
+                                               interpret=interp)
+            dz_flat = dzs.reshape(T * B, 4 * H)
+            dxs = kernels.matmul(dz_flat, wx.T).reshape(T, B, D)
+            dwx = kernels.matmul(xt.reshape(T * B, D).T, dz_flat)
+            dwh = kernels.matmul(hprev.reshape(T * B, H).T, dz_flat)
+            db = dz_flat.sum(axis=0, keepdims=True)
+            return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, dc0
+
+        return _build_recurrent_node(
+            ts_x, ts_wx, ts_wh, ts_b, h0, c0, out, joint_bwd)
 
     def fwd_body(carry, step):
         h_prev, c_prev = carry
