@@ -230,6 +230,35 @@ def test_lstm_pallas_kernel_matches_xla_path(reverse):
         np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=5e-6)
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_pallas_kernel_matches_xla_path(reverse):
+    Bk, Tk, Dk, Hk = 8, 6, 4, 128
+    rng = np.random.default_rng(23)
+    x = _rand(rng, Bk, Tk, Dk)
+    wx = _rand(rng, Dk, 3 * Hk) * 0.3
+    wh = _rand(rng, Hk, 3 * Hk) * 0.3
+    b = _rand(rng, 1, 3 * Hk) * 0.1
+    h0 = _rand(rng, Bk, Hk) * 0.5
+    cot = _rand(rng, Bk, Tk, Hk)
+
+    def run(impl):
+        tx, twx, twh, tb, th0 = (
+            Tensor(x, requires_grad=True), Tensor(wx, requires_grad=True),
+            Tensor(wh, requires_grad=True), Tensor(b, requires_grad=True),
+            Tensor(h0, requires_grad=True))
+        out = gru_scan_(tx, twx, twh, tb, h0=th0,
+                        reverse=reverse, impl=impl)
+        out.backward(Tensor(cot))
+        return (np.asarray(out.data),
+                [np.asarray(t.grad) for t in (tx, twx, twh, tb, th0)])
+
+    out_x, grads_x = run("xla")
+    out_p, grads_p = run("pallas_interpret")
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-6, atol=1e-6)
+    for gp, gx in zip(grads_p, grads_x):
+        np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=5e-6)
+
+
 def test_lstm_pallas_kernel_multi_chunk_grid():
     """T larger than one chunk: the scratch carry must flow across grid
     steps in both kernels (forward h/c, backward dh/dc)."""

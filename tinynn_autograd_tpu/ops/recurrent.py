@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from tinynn_autograd_tpu.ops import kernels
 
 
-def _resolve_impl(impl, T, B, H, dtype):
+def _resolve_impl(impl, T, B, H, dtype, cell="lstm"):
     """auto -> in-kernel Pallas recurrence on TPU when the shape tiles
     (ops/recurrent_kernel.py), XLA scan otherwise. Override per call
     (impl=) or globally (TINYNN_TPU_RNN_IMPL = pallas | pallas_interpret
@@ -58,10 +58,11 @@ def _resolve_impl(impl, T, B, H, dtype):
         return impl
     from tinynn_autograd_tpu.ops import recurrent_kernel as rk
 
+    tiles = rk.pickable if cell == "lstm" else rk.gru_pickable
     if (kernels._default_backend() == "tpu"
             and not os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
             and rk.supports(B, H, dtype)
-            and rk.pickable(T, B, H)):
+            and tiles(T, B, H)):
         return "pallas"
     return "xla"
 
@@ -208,7 +209,7 @@ def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None, reverse=False,
         ts_x, ts_wx, ts_wh, ts_b, h0, c0, out, joint_bwd)
 
 
-def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, reverse=False):
+def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, reverse=False, impl=None):
     """GRU over [B, T, D] -> hidden sequence [B, T, H] as one tape edge.
 
     Cell (gate order z, r, n; the single-bias formulation — the reset
@@ -234,6 +235,35 @@ def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, reverse=False):
     # hoisted input projection (see lstm_scan_): all T input matmuls as
     # ONE [T*B, D] x [D, 3H] matmul; only h @ wh stays on the serial chain
     ap = (kernels.matmul(xt.reshape(T * B, D), wx) + b).reshape(T, B, 3 * H)
+
+    impl = _resolve_impl(impl, T, B, H, x.dtype, cell="gru")
+    if impl != "xla":
+        from tinynn_autograd_tpu.ops import recurrent_kernel as rk
+
+        interp = impl == "pallas_interpret"
+        hs, gates, un = rk.gru_fwd_pallas(ap, wh, h0a, reverse=reverse,
+                                          interpret=interp)
+        out = jnp.swapaxes(hs, 0, 1)
+
+        def joint_bwd(grad):
+            gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)
+            if reverse:
+                hprev = jnp.concatenate([hs[1:], h0a[None]], axis=0)
+            else:
+                hprev = jnp.concatenate([h0a[None], hs[:-1]], axis=0)
+            das, dus, dh0 = rk.gru_bwd_pallas(gt, hprev, gates, un,
+                                              wh.T, reverse=reverse,
+                                              interpret=interp)
+            da_flat = das.reshape(T * B, 3 * H)
+            du_flat = dus.reshape(T * B, 3 * H)
+            dxs = kernels.matmul(da_flat, wx.T).reshape(T, B, D)
+            dwx = kernels.matmul(xt.reshape(T * B, D).T, da_flat)
+            dwh = kernels.matmul(hprev.reshape(T * B, H).T, du_flat)
+            db = da_flat.sum(axis=0, keepdims=True)
+            return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, None
+
+        return _build_recurrent_node(
+            ts_x, ts_wx, ts_wh, ts_b, h0, None, out, joint_bwd)
 
     def fwd_body(h_prev, a_t):
         u = kernels.matmul(h_prev, wh)

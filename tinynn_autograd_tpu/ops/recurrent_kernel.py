@@ -215,6 +215,150 @@ def lstm_bwd_pallas(gt, gates, cs, cprev, whT, reverse=False,
 
 
 def pickable(T, B, H):
-    """True when both kernels can tile this shape inside the budget."""
+    """True when both LSTM kernels can tile this shape inside the budget."""
     return (_pick_chunk(T, B, H, n_streams=10) is not None
             and _pick_chunk(T, B, H, n_streams=11) is not None)
+
+
+# ------------------------------------------------------------------- GRU
+
+
+def _gru_fwd_kernel(C, H, reverse, h0_ref, wh_ref, ap_ref,
+                    hs_ref, gates_ref, un_ref, h_scr):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        h_scr[...] = h0_ref[...]
+
+    for j in range(C):
+        jj = C - 1 - j if reverse else j
+        u = jnp.dot(h_scr[...], wh_ref[...],
+                    preferred_element_type=jnp.float32)
+        a = ap_ref[jj]
+        z = jax.nn.sigmoid(a[:, :H] + u[:, :H])
+        r = jax.nn.sigmoid(a[:, H:2 * H] + u[:, H:2 * H])
+        un = u[:, 2 * H:]
+        n_ = jnp.tanh(a[:, 2 * H:] + r * un)
+        h = (1.0 - z) * n_ + z * h_scr[...]
+        gates_ref[jj] = jnp.concatenate([z, r, n_], axis=-1)
+        un_ref[jj] = un
+        hs_ref[jj] = h
+        h_scr[...] = h
+
+
+def gru_fwd_pallas(ap, wh, h0, reverse=False, interpret=False):
+    """ap [T, B, 3H] (hoisted input projection incl. bias), wh [H, 3H],
+    h0 [B, H] -> (hs [T, B, H], gates (z,r,n) [T, B, 3H], un [T, B, H])."""
+    T, B, H3 = ap.shape
+    H = H3 // 3
+    C = _pick_chunk(T, B, H, n_streams=8)  # ap 3H + hs H + gates 3H + un H
+    n = T // C
+
+    def tmap(i):
+        return ((n - 1 - i) if reverse else i, 0, 0)
+
+    def cmap(i):
+        return (0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_gru_fwd_kernel, C, H, reverse),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((B, H), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, 3 * H), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, B, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, 3 * H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), tmap, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(h0, wh, ap)
+
+
+def _gru_bwd_kernel(C, H, n, reverse, whT_ref, gt_ref, hprev_ref,
+                    gates_ref, un_ref, das_ref, dus_ref, dh0_ref, dh_scr):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+
+    for j in range(C):
+        jj = j if reverse else C - 1 - j
+        g3 = gates_ref[jj]
+        z, r, n_ = g3[:, :H], g3[:, H:2 * H], g3[:, 2 * H:]
+        un = un_ref[jj]
+        dh = gt_ref[jj] + dh_scr[...]
+        dz_gate = dh * (hprev_ref[jj] - n_)
+        dn_pre = dh * (1.0 - z) * (1.0 - n_ * n_)
+        dr = dn_pre * un
+        dun = dn_pre * r
+        daz = dz_gate * z * (1.0 - z)
+        dar = dr * r * (1.0 - r)
+        da = jnp.concatenate([daz, dar, dn_pre], axis=-1)
+        du = jnp.concatenate([daz, dar, dun], axis=-1)
+        das_ref[jj] = da
+        dus_ref[jj] = du
+        dh_scr[...] = dh * z + jnp.dot(du, whT_ref[...],
+                                       preferred_element_type=jnp.float32)
+
+    @pl.when(i == n - 1)
+    def _():
+        dh0_ref[...] = dh_scr[...]
+
+
+def gru_bwd_pallas(gt, hprev, gates, un, whT, reverse=False,
+                   interpret=False):
+    """gt [T, B, H], hprev [T, B, H] (direction-aware shift of hs),
+    gates (z,r,n) [T, B, 3H], un [T, B, H], whT [3H, H] ->
+    (das, dus [T, B, 3H], dh0 [B, H])."""
+    T, B, H = gt.shape
+    C = _pick_chunk(T, B, H, n_streams=12)
+    n = T // C
+
+    def tmap(i):
+        return (i if reverse else (n - 1 - i), 0, 0)
+
+    def cmap(i):
+        return (0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_gru_bwd_kernel, C, H, n, reverse),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((3 * H, H), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, 3 * H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, B, 3 * H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, 3 * H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), cmap, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(whT, gt, hprev, gates, un)
+
+
+def gru_pickable(T, B, H):
+    """True when both GRU kernels can tile this shape inside the budget."""
+    return (_pick_chunk(T, B, H, n_streams=8) is not None
+            and _pick_chunk(T, B, H, n_streams=12) is not None)
