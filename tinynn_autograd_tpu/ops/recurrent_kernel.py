@@ -140,8 +140,8 @@ def _bwd_kernel(C, H, n, reverse, whT_ref, gt_ref, gates_ref, cs_ref,
 
     @pl.when(i == 0)
     def _():
-        dh_scr[...] = jnp.zeros_like(dh_scr)
-        dc_scr[...] = jnp.zeros_like(dc_scr)
+        dh_scr[...] = jnp.zeros_like(dh_scr[...])
+        dc_scr[...] = jnp.zeros_like(dc_scr[...])
 
     for j in range(C):
         # the backward walks time in the direction OPPOSITE the forward
@@ -291,7 +291,7 @@ def _gru_bwd_kernel(C, H, n, reverse, whT_ref, gt_ref, hprev_ref,
 
     @pl.when(i == 0)
     def _():
-        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dh_scr[...] = jnp.zeros_like(dh_scr[...])
 
     for j in range(C):
         jj = j if reverse else C - 1 - j
