@@ -251,6 +251,75 @@ def check_remat_accum_hw(results):
           % (stats["losses"], temps, ratio))
 
 
+def check_recurrent_kernels_hw(results):
+    """Round-5 check: the in-kernel Pallas recurrences (LSTM + GRU,
+    ops/recurrent_kernel.py) on the real chip — value AND all-cotangent
+    parity of the auto-dispatched pallas path vs the forced XLA-scan path
+    at a bench-like shape, plus a chained timing of both (fwd+bwd through
+    the tape primitive) so the dependent-matmul-wall claim is measured,
+    not extrapolated."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.core.tensor import Tensor
+    from tinynn_autograd_tpu.ops.recurrent import gru_scan_, lstm_scan_
+
+    rng = np.random.RandomState(1)
+    B, T, D, H = 64, 128, 64, 256
+    for name, scan_fn, g in (("lstm", lstm_scan_, 4), ("gru", gru_scan_, 3)):
+        x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+        wx = jnp.asarray(0.2 * rng.randn(D, g * H).astype(np.float32))
+        wh = jnp.asarray(0.2 * rng.randn(H, g * H).astype(np.float32))
+        b = jnp.asarray(0.1 * rng.randn(1, g * H).astype(np.float32))
+        cot = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+        def grads(impl, x=x, wx=wx, wh=wh, b=b, cot=cot, fn=scan_fn):
+            tx, twx, twh, tb = (Tensor(x, requires_grad=True),
+                                Tensor(wx, requires_grad=True),
+                                Tensor(wh, requires_grad=True),
+                                Tensor(b, requires_grad=True))
+            out = fn(tx, twx, twh, tb, impl=impl)
+            out.backward(Tensor(cot))
+            return out.data, tx.grad, twx.grad, twh.grad, tb.grad
+
+        res_p = jax.jit(lambda: grads("pallas"))()
+        res_x = jax.jit(lambda: grads("xla"))()
+        errs = [float(jnp.max(jnp.abs(a - b_))) / max(
+                    1.0, float(jnp.max(jnp.abs(b_))))
+                for a, b_ in zip(res_p, res_x)]
+        assert max(errs) < 1e-4, (name, errs)
+
+        # chained timing: one dispatch, many dependent fwd+bwd iterations
+        def chain(impl, iters=200):
+            def body(carry, _):
+                xx = carry
+                _, dx, _, _, _ = grads(impl, x=xx)
+                return xx + 1e-6 * dx, ()
+
+            def run(x0):
+                out, _ = jax.lax.scan(body, x0, None, length=iters)
+                return out
+
+            r = jax.jit(run)
+            float(r(x)[0, 0, 0])                    # compile + warm
+            t0 = time.perf_counter()
+            float(r(x)[0, 0, 0])                    # timed readback
+            return (time.perf_counter() - t0) / iters * 1e6
+
+        us_p = chain("pallas")
+        us_x = chain("xla")
+        results["recurrent_" + name] = {
+            "max_rel_err_vs_xla": round(max(errs), 8),
+            "pallas_us_per_step": round(us_p, 1),
+            "xla_us_per_step": round(us_x, 1),
+            "speedup": round(us_x / us_p, 2),
+        }
+        print("recurrent %s: parity %.2e, pallas %.1fus vs xla %.1fus "
+              "(%.2fx)" % (name, max(errs), us_p, us_x, us_p and us_x / us_p))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--round", type=int, default=3)
@@ -265,6 +334,7 @@ def main():
     check_megakernel_dropout_e2e(results)
     check_flash_dropout_hw(results)
     check_remat_accum_hw(results)
+    check_recurrent_kernels_hw(results)
 
     out = args.out or "TPUCHECK_r%02d.json" % args.round
     with open(out, "w") as f:
