@@ -387,6 +387,61 @@ def test_bidirectional_trains_and_checkpoints(tmp_path):
                                pred_before, rtol=0, atol=1e-6)
 
 
+def test_bidirectional_load_into_lazy_net(tmp_path):
+    """Model.load into a Bidirectional built WITHOUT num_in must not
+    re-draw over the loaded weights at the first forward (regression:
+    the wrapper forwards Model.load's _is_init mark to both inner
+    layers)."""
+    seeder.random_seed(0)
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((8, 4, 3)).astype(np.float32)
+    y = rng.standard_normal((8, 1)).astype(np.float32)
+    model = Model(net=Net([layers.Bidirectional(layers.LSTM(6, seed=85)),
+                           layers.Dense(1, seed=86)]),
+                  loss=losses.MSELoss(), optimizer=opt.Adam(lr=1e-2))
+    for _ in range(2):
+        model.train_step(x, y)
+    pred_before = np.asarray(model.forward(Tensor(x)).data)
+    path = str(tmp_path / "bi_lazy.ckpt")
+    model.save(path)
+
+    seeder.random_seed(123)  # different stream: a re-draw would diverge
+    lazy = Model(net=Net([layers.Bidirectional(layers.LSTM(6)),
+                          layers.Dense(1)]),
+                 loss=losses.MSELoss(), optimizer=opt.Adam(lr=1e-2))
+    lazy.load(path)
+    np.testing.assert_allclose(np.asarray(lazy.forward(Tensor(x)).data),
+                               pred_before, rtol=0, atol=1e-6)
+
+
+def test_bidirectional_set_parameters_plain_dicts():
+    """Net.set_parameters with ordinary dicts (the reference contract)
+    must accept the merged f_*/b_* view (regression: keys() returned a
+    list, failing the dict_keys equality assert)."""
+    src = Net([layers.Bidirectional(layers.LSTM(4, num_in=3, seed=87))])
+    dst = Net([layers.Bidirectional(layers.LSTM(4, num_in=3, seed=88))])
+    plain = [{k: np.asarray(v.data) for k, v in layer.params.items()}
+             for layer in src.layers]
+    dst.set_parameters(plain)
+    for k in src.layers[0].params.keys():
+        np.testing.assert_array_equal(
+            np.asarray(dst.layers[0].params[k].data),
+            np.asarray(src.layers[0].params[k].data))
+
+
+def test_forced_pallas_impl_rejects_untileable_shapes():
+    """Forcing impl='pallas' on a shape the kernel cannot tile must raise
+    a clear ValueError, not a NoneType arithmetic crash."""
+    x, wx, wh, b = _params(4)  # H=6: not a multiple of 128
+    with pytest.raises(ValueError, match="cannot tile"):
+        lstm_scan_(Tensor(x), Tensor(wx), Tensor(wh), Tensor(b),
+                   impl="pallas")
+    x3, wx3, wh3, b3 = _params(3)
+    with pytest.raises(ValueError, match="cannot tile"):
+        gru_scan_(Tensor(x3), Tensor(wx3), Tensor(wh3), Tensor(b3),
+                  impl="pallas_interpret")
+
+
 def test_bidirectional_rejects_misconfigured_layers():
     with pytest.raises(ValueError):
         layers.Bidirectional(layers.LSTM(4, reverse=True))

@@ -610,8 +610,11 @@ class _TwoWayParams:
         return (self._fwd if side == "f" else self._bwd).params, name
 
     def keys(self):
-        return ([("f_%s" % k) for k in self._fwd.params]
-                + [("b_%s" % k) for k in self._bwd.params])
+        # dict_keys, not a list: Net.set_parameters compares with the
+        # checkpoint dict's .keys() (set semantics)
+        return dict.fromkeys(
+            [("f_%s" % k) for k in self._fwd.params]
+            + [("b_%s" % k) for k in self._bwd.params]).keys()
 
     def __iter__(self):
         return iter(self.keys())
@@ -690,6 +693,19 @@ class Bidirectional(Layer):
     @property
     def is_init(self):
         return self.fwd.is_init and self.bwd.is_init
+
+    # Model.load marks lazily-built layers initialized by assigning
+    # _is_init after installing checkpoint params — forward it to both
+    # direction layers so their first forward() doesn't re-draw over the
+    # loaded weights
+    @property
+    def _is_init(self):
+        return self.fwd._is_init and self.bwd._is_init
+
+    @_is_init.setter
+    def _is_init(self, value):
+        self.fwd._is_init = value
+        self.bwd._is_init = value
 
     def init_params(self, input_shape):
         self.fwd.init_params(input_shape)

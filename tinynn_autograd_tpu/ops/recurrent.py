@@ -54,11 +54,19 @@ def _resolve_impl(impl, T, B, H, dtype, cell="lstm"):
     | xla)."""
     if impl is None:
         impl = os.environ.get("TINYNN_TPU_RNN_IMPL")
-    if impl in ("pallas", "pallas_interpret", "xla"):
-        return impl
     from tinynn_autograd_tpu.ops import recurrent_kernel as rk
 
     tiles = rk.pickable if cell == "lstm" else rk.gru_pickable
+    if impl in ("pallas", "pallas_interpret", "xla"):
+        if impl != "xla" and not (rk.supports(B, H, dtype)
+                                  and tiles(T, B, H)):
+            raise ValueError(
+                "recurrent pallas kernel cannot tile this %s: T=%d B=%d "
+                "H=%d dtype=%s — needs f32, B%%8==0, H%%128==0, and a "
+                "time-chunk within TINYNN_RNN_VMEM_BUDGET_MB (%.0f MB); "
+                "drop the forced impl to fall back to the XLA scan."
+                % (cell, T, B, H, dtype, rk._VMEM_BUDGET / 2 ** 20))
+        return impl
     if (kernels._default_backend() == "tpu"
             and not os.environ.get("TINYNN_TPU_DISABLE_PALLAS")
             and rk.supports(B, H, dtype)
@@ -119,89 +127,80 @@ def lstm_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, c0=None, reverse=False,
     # the dependent-matmul count per step
     xp = (kernels.matmul(xt.reshape(T * B, D), wx) + b).reshape(T, B, 4 * H)
 
+    # both impls save the SAME minimal activation set — hs, cs, and the
+    # packed gates [T, B, 4H]; h/c entering step t are one-step time
+    # shifts of the emitted stacks, derived (not stored) in the backward
     impl = _resolve_impl(impl, T, B, H, x.dtype)
+    interp = impl == "pallas_interpret"
     if impl != "xla":
         from tinynn_autograd_tpu.ops import recurrent_kernel as rk
 
-        interp = impl == "pallas_interpret"
         hs, cs, gates = rk.lstm_fwd_pallas(xp, wh, h0a, c0a,
                                            reverse=reverse,
                                            interpret=interp)
-        out = jnp.swapaxes(hs, 0, 1)
+    else:
+        def fwd_body(carry, xp_t):
+            h_prev, c_prev = carry
+            z = xp_t + kernels.matmul(h_prev, wh)
+            zi, zf, zg, zo = _split4(z)
+            i = _sigmoid(zi)
+            f = _sigmoid(zf)
+            g = jnp.tanh(zg)
+            o = _sigmoid(zo)
+            c = f * c_prev + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), (h, c, jnp.concatenate([i, f, g, o], axis=-1))
 
-        def joint_bwd(grad):
-            gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)
-            if reverse:
-                cprev = jnp.concatenate([cs[1:], c0a[None]], axis=0)
-                hprev = jnp.concatenate([hs[1:], h0a[None]], axis=0)
-            else:
-                cprev = jnp.concatenate([c0a[None], cs[:-1]], axis=0)
-                hprev = jnp.concatenate([h0a[None], hs[:-1]], axis=0)
-            dzs, dh0, dc0 = rk.lstm_bwd_pallas(gt, gates, cs, cprev,
-                                               wh.T, reverse=reverse,
-                                               interpret=interp)
-            dz_flat = dzs.reshape(T * B, 4 * H)
-            dxs = kernels.matmul(dz_flat, wx.T).reshape(T, B, D)
-            dwx = kernels.matmul(xt.reshape(T * B, D).T, dz_flat)
-            dwh = kernels.matmul(hprev.reshape(T * B, H).T, dz_flat)
-            db = dz_flat.sum(axis=0, keepdims=True)
-            return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, dc0
-
-        return _build_recurrent_node(
-            ts_x, ts_wx, ts_wh, ts_b, h0, c0, out, joint_bwd)
-
-    def fwd_body(carry, step):
-        h_prev, c_prev = carry
-        xp_t = step
-        z = xp_t + kernels.matmul(h_prev, wh)
-        zi, zf, zg, zo = _split4(z)
-        i = _sigmoid(zi)
-        f = _sigmoid(zf)
-        g = jnp.tanh(zg)
-        o = _sigmoid(zo)
-        c = f * c_prev + i * g
-        tc = jnp.tanh(c)
-        h = o * tc
-        return (h, c), (h, h_prev, c_prev, i, f, g, o, tc)
-
-    (_, _), saved = jax.lax.scan(fwd_body, (h0a, c0a), xp, reverse=reverse)
-    hs = saved[0]                      # [T, B, H]
+        (_, _), (hs, cs, gates) = jax.lax.scan(
+            fwd_body, (h0a, c0a), xp, reverse=reverse)
     out = jnp.swapaxes(hs, 0, 1)       # [B, T, H]
 
     def joint_bwd(grad):
         gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)  # [T, B, H]
-        zeros_bh = jnp.zeros((B, H), x.dtype)
+        if reverse:
+            cprev = jnp.concatenate([cs[1:], c0a[None]], axis=0)
+            hprev = jnp.concatenate([hs[1:], h0a[None]], axis=0)
+        else:
+            cprev = jnp.concatenate([c0a[None], cs[:-1]], axis=0)
+            hprev = jnp.concatenate([h0a[None], hs[:-1]], axis=0)
+        if impl != "xla":
+            from tinynn_autograd_tpu.ops import recurrent_kernel as rk
 
-        # the scan carries only (dh, dc) and emits dz per step — ONE
-        # serial matmul (dz @ wh.T) on the chain; the weight/input/bias
-        # cotangents are three big batched matmuls AFTER the scan
-        def bwd_body(carry, step):
-            dh_next, dc_next = carry
-            g_t, c_prev, i, f, g_, o, tc = step
-            dh = g_t + dh_next
-            do = dh * tc
-            dc = dh * o * (1.0 - tc * tc) + dc_next
-            di = dc * g_
-            dg = dc * i
-            df = dc * c_prev
-            dc_prev = dc * f
-            dz = jnp.concatenate(
-                [di * i * (1.0 - i),
-                 df * f * (1.0 - f),
-                 dg * (1.0 - g_ * g_),
-                 do * o * (1.0 - o)], axis=-1)
-            dh_prev = kernels.matmul(dz, wh.T)
-            return (dh_prev, dc_prev), dz
+            dzs, dh0, dc0 = rk.lstm_bwd_pallas(gt, gates, cs, cprev,
+                                               wh.T, reverse=reverse,
+                                               interpret=interp)
+        else:
+            zeros_bh = jnp.zeros((B, H), x.dtype)
 
-        (dh0, dc0), dzs = jax.lax.scan(
-            bwd_body, (zeros_bh, zeros_bh),
-            (gt, saved[2], saved[3], saved[4], saved[5], saved[6],
-             saved[7]),
-            reverse=not reverse)
+            # the scan carries only (dh, dc) and emits dz per step — ONE
+            # serial matmul (dz @ wh.T) on the chain; the weight/input/
+            # bias cotangents are three big batched matmuls AFTER it
+            def bwd_body(carry, step):
+                dh_next, dc_next = carry
+                g_t, c_, cp, g4 = step
+                i, f = g4[..., :H], g4[..., H:2 * H]
+                g_, o = g4[..., 2 * H:3 * H], g4[..., 3 * H:]
+                tc = jnp.tanh(c_)
+                dh = g_t + dh_next
+                do = dh * tc
+                dc = dh * o * (1.0 - tc * tc) + dc_next
+                di = dc * g_
+                dg = dc * i
+                df = dc * cp
+                dz = jnp.concatenate(
+                    [di * i * (1.0 - i),
+                     df * f * (1.0 - f),
+                     dg * (1.0 - g_ * g_),
+                     do * o * (1.0 - o)], axis=-1)
+                return (kernels.matmul(dz, wh.T), dc * f), dz
+
+            (dh0, dc0), dzs = jax.lax.scan(
+                bwd_body, (zeros_bh, zeros_bh), (gt, cs, cprev, gates),
+                reverse=not reverse)
         dz_flat = dzs.reshape(T * B, 4 * H)
         dxs = kernels.matmul(dz_flat, wx.T).reshape(T, B, D)
         dwx = kernels.matmul(xt.reshape(T * B, D).T, dz_flat)
-        dwh = kernels.matmul(saved[1].reshape(T * B, H).T, dz_flat)
+        dwh = kernels.matmul(hprev.reshape(T * B, H).T, dz_flat)
         db = dz_flat.sum(axis=0, keepdims=True)
         return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, dc0
 
@@ -236,79 +235,73 @@ def gru_scan_(ts_x, ts_wx, ts_wh, ts_b, h0=None, reverse=False, impl=None):
     # ONE [T*B, D] x [D, 3H] matmul; only h @ wh stays on the serial chain
     ap = (kernels.matmul(xt.reshape(T * B, D), wx) + b).reshape(T, B, 3 * H)
 
+    # both impls save the SAME minimal set — hs, packed (z, r, n) gates,
+    # and un (the reset-gated hidden contribution); h entering step t is
+    # a one-step time shift of hs, derived (not stored) in the backward
     impl = _resolve_impl(impl, T, B, H, x.dtype, cell="gru")
+    interp = impl == "pallas_interpret"
     if impl != "xla":
         from tinynn_autograd_tpu.ops import recurrent_kernel as rk
 
-        interp = impl == "pallas_interpret"
-        hs, gates, un = rk.gru_fwd_pallas(ap, wh, h0a, reverse=reverse,
-                                          interpret=interp)
-        out = jnp.swapaxes(hs, 0, 1)
+        hs, gates, un_s = rk.gru_fwd_pallas(ap, wh, h0a, reverse=reverse,
+                                            interpret=interp)
+    else:
+        def fwd_body(h_prev, a_t):
+            u = kernels.matmul(h_prev, wh)
+            az, ar, an = _split3(a_t)
+            uz, ur, un = _split3(u)
+            z = _sigmoid(az + uz)
+            r = _sigmoid(ar + ur)
+            n = jnp.tanh(an + r * un)
+            h = (1.0 - z) * n + z * h_prev
+            return h, (h, jnp.concatenate([z, r, n], axis=-1), un)
 
-        def joint_bwd(grad):
-            gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)
-            if reverse:
-                hprev = jnp.concatenate([hs[1:], h0a[None]], axis=0)
-            else:
-                hprev = jnp.concatenate([h0a[None], hs[:-1]], axis=0)
-            das, dus, dh0 = rk.gru_bwd_pallas(gt, hprev, gates, un,
-                                              wh.T, reverse=reverse,
-                                              interpret=interp)
-            da_flat = das.reshape(T * B, 3 * H)
-            du_flat = dus.reshape(T * B, 3 * H)
-            dxs = kernels.matmul(da_flat, wx.T).reshape(T, B, D)
-            dwx = kernels.matmul(xt.reshape(T * B, D).T, da_flat)
-            dwh = kernels.matmul(hprev.reshape(T * B, H).T, du_flat)
-            db = da_flat.sum(axis=0, keepdims=True)
-            return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, None
-
-        return _build_recurrent_node(
-            ts_x, ts_wx, ts_wh, ts_b, h0, None, out, joint_bwd)
-
-    def fwd_body(h_prev, a_t):
-        u = kernels.matmul(h_prev, wh)
-        az, ar, an = _split3(a_t)
-        uz, ur, un = _split3(u)
-        z = _sigmoid(az + uz)
-        r = _sigmoid(ar + ur)
-        n = jnp.tanh(an + r * un)
-        h = (1.0 - z) * n + z * h_prev
-        return h, (h, h_prev, z, r, n, un)
-
-    _, saved = jax.lax.scan(fwd_body, h0a, ap, reverse=reverse)
-    hs = saved[0]
+        _, (hs, gates, un_s) = jax.lax.scan(fwd_body, h0a, ap,
+                                            reverse=reverse)
     out = jnp.swapaxes(hs, 0, 1)
 
     def joint_bwd(grad):
         gt = jnp.swapaxes(jnp.asarray(grad, x.dtype), 0, 1)
-        zeros_bh = jnp.zeros((B, H), x.dtype)
+        if reverse:
+            hprev = jnp.concatenate([hs[1:], h0a[None]], axis=0)
+        else:
+            hprev = jnp.concatenate([h0a[None], hs[:-1]], axis=0)
+        if impl != "xla":
+            from tinynn_autograd_tpu.ops import recurrent_kernel as rk
 
-        # scan emits (da, du) per step; dwx/dwh/dx/db are batched
-        # post-scan matmuls — one serial matmul (du @ wh.T) on the chain
-        def bwd_body(dh_next, step):
-            g_t, h_prev, z, r, n, un = step
-            dh = g_t + dh_next
-            dz_gate = dh * (h_prev - n)
-            dn = dh * (1.0 - z)
-            dn_pre = dn * (1.0 - n * n)
-            dr = dn_pre * un
-            dun = dn_pre * r
-            daz = dz_gate * z * (1.0 - z)
-            dar = dr * r * (1.0 - r)
-            da = jnp.concatenate([daz, dar, dn_pre], axis=-1)
-            du = jnp.concatenate([daz, dar, dun], axis=-1)
-            dh_prev = dh * z + kernels.matmul(du, wh.T)
-            return dh_prev, (da, du)
+            das, dus, dh0 = rk.gru_bwd_pallas(gt, hprev, gates, un_s,
+                                              wh.T, reverse=reverse,
+                                              interpret=interp)
+        else:
+            zeros_bh = jnp.zeros((B, H), x.dtype)
 
-        dh0, (das, dus) = jax.lax.scan(
-            bwd_body, zeros_bh,
-            (gt, saved[1], saved[2], saved[3], saved[4], saved[5]),
-            reverse=not reverse)
+            # scan emits (da, du) per step; dwx/dwh/dx/db are batched
+            # post-scan matmuls — one serial matmul (du @ wh.T) on the
+            # chain
+            def bwd_body(dh_next, step):
+                g_t, hp, g3, un = step
+                z, r = g3[..., :H], g3[..., H:2 * H]
+                n = g3[..., 2 * H:]
+                dh = g_t + dh_next
+                dz_gate = dh * (hp - n)
+                dn_pre = dh * (1.0 - z) * (1.0 - n * n)
+                dr = dn_pre * un
+                dun = dn_pre * r
+                daz = dz_gate * z * (1.0 - z)
+                dar = dr * r * (1.0 - r)
+                da = jnp.concatenate([daz, dar, dn_pre], axis=-1)
+                du = jnp.concatenate([daz, dar, dun], axis=-1)
+                dh_prev = dh * z + kernels.matmul(du, wh.T)
+                return dh_prev, (da, du)
+
+            dh0, (das, dus) = jax.lax.scan(
+                bwd_body, zeros_bh, (gt, hprev, gates, un_s),
+                reverse=not reverse)
         da_flat = das.reshape(T * B, 3 * H)
         du_flat = dus.reshape(T * B, 3 * H)
         dxs = kernels.matmul(da_flat, wx.T).reshape(T, B, D)
         dwx = kernels.matmul(xt.reshape(T * B, D).T, da_flat)
-        dwh = kernels.matmul(saved[1].reshape(T * B, H).T, du_flat)
+        dwh = kernels.matmul(hprev.reshape(T * B, H).T, du_flat)
         db = da_flat.sum(axis=0, keepdims=True)
         return jnp.swapaxes(dxs, 0, 1), dwx, dwh, db, dh0, None
 
