@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from tinynn_autograd_tpu.nn.layers import (
-    Dense, Embedding, PositionalEmbedding, Remat, TransformerBlock,
+    Dense, Embedding, LlamaBlock, PositionalEmbedding, Remat, RMSNorm,
+    TransformerBlock,
 )
 
 _NEG_INF = -1e30
@@ -37,6 +38,11 @@ def _ln(x, g, b, eps):
     mu = x.mean(-1, keepdims=True)
     var = ((x - mu) ** 2).mean(-1, keepdims=True)
     return (x - mu) / jnp.sqrt(var + eps) * g + b
+
+
+def _rms(x, g, eps):
+    r = jax.lax.rsqrt((x * x).mean(-1, keepdims=True) + eps)
+    return x * r * g
 
 
 def _extract(net):
@@ -71,6 +77,50 @@ def _extract(net):
     return emb, pos, blocks, head, heads, eps
 
 
+def _extract_llama(net):
+    """Pull the concrete param arrays of a build_tiny_llama-style net:
+    Embedding, LlamaBlock*, RMSNorm, Dense head."""
+    emb = head = norm = None
+    blocks = []
+    meta = None
+    for layer in net.layers:
+        if isinstance(layer, Remat):
+            layer = layer.inner
+        if isinstance(layer, Embedding):
+            emb = layer.params["w"].data
+        elif isinstance(layer, LlamaBlock):
+            if not layer.causal:
+                raise ValueError("generate() needs causal LlamaBlocks")
+            meta = (layer.num_heads, layer.num_kv_heads, layer.head_dim,
+                    layer.eps, layer.rope_base)
+            blocks.append({k: v.data for k, v in layer.params.items()})
+        elif isinstance(layer, RMSNorm):
+            norm = layer.params["g"].data
+        elif isinstance(layer, Dense):
+            head = {k: v.data for k, v in layer.params.items()}
+        else:
+            raise ValueError("generate() does not support layer %r"
+                             % layer.name)
+    if emb is None or head is None or norm is None or not blocks:
+        raise ValueError("net is not a llama-family LM "
+                         "(Embedding + LlamaBlocks + RMSNorm + head)")
+    return emb, blocks, norm, head, meta
+
+
+def _rope_one(x, t, base):
+    """Rotate ONE token's heads [..., hd] to absolute position ``t``
+    (traced scalar) — the decode-time counterpart of ops.rope_'s
+    half-split convention."""
+    hd = x.shape[-1]
+    half = hd // 2
+    inv_freq = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = t.astype(jnp.float32) * inv_freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1)
+
+
 def _block_step(bp, x, cache_k, cache_v, t, heads, eps, t_max):
     """One transformer block on ONE token x [B, D] at position t, reading
     and appending the block's KV cache [B, H, T_max, hd]."""
@@ -95,33 +145,108 @@ def _block_step(bp, x, cache_k, cache_v, t, heads, eps, t_max):
     return x, cache_k, cache_v
 
 
-def generate(net, prompt_ids, n_new, temperature=0.0, rng=None):
+def _llama_block_step(bp, x, cache_k, cache_v, t, hkv, group, hd, eps,
+                      base):
+    """One LlamaBlock on ONE token x [B, D] at position t, reading and
+    appending the block's GQA KV cache [B, Hkv, T_max, hd] — the cache is
+    held at Hkv heads (the GQA serving saving); the query's H = Hkv*group
+    heads read it grouped."""
+    b, d = x.shape
+    xn = _rms(x, bp["g1"], eps)
+    q = (xn @ bp["wq"]).reshape(b, hkv, group, hd)
+    k = (xn @ bp["wk"]).reshape(b, hkv, hd)
+    v = (xn @ bp["wv"]).reshape(b, hkv, hd)
+    q = _rope_one(q, t, base)
+    k = _rope_one(k, t, base)
+    cache_k = jax.lax.dynamic_update_index_in_dim(cache_k, k, t, axis=2)
+    cache_v = jax.lax.dynamic_update_index_in_dim(cache_v, v, t, axis=2)
+    s = jnp.einsum("bkgd,bktd->bkgt", q, cache_k,
+                   preferred_element_type=jnp.float32) / np.sqrt(hd)
+    pos_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    s = jnp.where(pos_ids <= t, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bkgt,bktd->bkgd", p, cache_v,
+                     preferred_element_type=jnp.float32)
+    x = x + ctx.reshape(b, d) @ bp["wo"]
+    yn = _rms(x, bp["g2"], eps)
+    x = x + (jax.nn.silu(yn @ bp["w1"]) * (yn @ bp["w3"])) @ bp["w2"]
+    return x, cache_k, cache_v
+
+
+def _filter_logits(logits, top_k, top_p):
+    """Standard sampling filters (static top_k / top_p): mask everything
+    below the k-th logit, then everything outside the smallest
+    nucleus whose cumulative probability reaches top_p (the max-prob
+    token always survives)."""
+    if top_k is not None:
+        kth = jnp.sort(logits, axis=-1)[..., -int(top_k)][..., None]
+        logits = jnp.where(logits < kth, _NEG_INF, logits)
+    if top_p is not None:
+        srt = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        exceeds = jnp.cumsum(probs, axis=-1) - probs >= top_p
+        min_kept = jnp.min(jnp.where(exceeds, jnp.inf, srt), axis=-1,
+                           keepdims=True)
+        logits = jnp.where(logits < min_kept, _NEG_INF, logits)
+    return logits
+
+
+def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
+             top_k=None, top_p=None):
     """Decode ``n_new`` tokens after ``prompt_ids`` [B, T0] (int ids).
 
+    Supports both causal-LM families: build_tiny_lm nets (learned
+    positions, full-head KV caches) and build_tiny_llama nets (RoPE
+    positions, GQA caches held at ``num_kv_heads`` heads).
+
     ``temperature=0`` is greedy argmax; otherwise softmax sampling at the
-    given temperature with ``rng`` (a jax PRNG key; required). Returns
-    int32 [B, T0 + n_new] — the prompt with the generated continuation.
-    The position space is bounded by the net's PositionalEmbedding length;
-    T0 + n_new must fit it.
+    given temperature with ``rng`` (a jax PRNG key; required), optionally
+    truncated by ``top_k`` (keep the k best logits) and/or ``top_p``
+    (nucleus sampling: keep the smallest set reaching cumulative
+    probability p) — filters apply after the temperature division, in the
+    standard order. Returns int32 [B, T0 + n_new] — the prompt with the
+    generated continuation. For build_tiny_lm nets the position space is
+    bounded by the PositionalEmbedding length; llama nets have no table
+    bound (positions live in the rotary phases).
     """
-    emb, pos, blocks, head, heads, eps = _extract(net)
-    t_max = pos.shape[1]
     prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
     b, t0 = prompt_ids.shape
-    if t0 + n_new > t_max:
-        raise ValueError(
-            "prompt (%d) + n_new (%d) exceeds the positional-embedding "
-            "length (%d)" % (t0, n_new, t_max))
     if temperature and rng is None:
         raise ValueError("sampling (temperature > 0) needs rng=PRNGKey")
-    d = emb.shape[1]
-    hd = d // heads
+
+    is_llama = any(isinstance(getattr(lyr, "inner", lyr), LlamaBlock)
+                   for lyr in net.layers)
+    if is_llama:
+        emb, blocks, normg, head, (h, hkv, hd, eps, base) = \
+            _extract_llama(net)
+        t_max = t0 + n_new
+        group = h // hkv
+        cache_heads = hkv
+        cache_hd = hd
+    else:
+        emb, pos, blocks, head, heads, eps = _extract(net)
+        t_max = pos.shape[1]
+        if t0 + n_new > t_max:
+            raise ValueError(
+                "prompt (%d) + n_new (%d) exceeds the positional-embedding "
+                "length (%d)" % (t0, n_new, t_max))
+        d = emb.shape[1]
+        cache_heads = heads
+        cache_hd = d // heads
     n_blocks = len(blocks)
 
     def token_logits(tok, t, caches):
         """Feed token ids [B] at position t through all blocks."""
-        x = emb[tok] + pos[0, t]
         new_caches = []
+        if is_llama:
+            x = emb[tok]
+            for l in range(n_blocks):
+                ck, cv = caches[l]
+                x, ck, cv = _llama_block_step(
+                    blocks[l], x, ck, cv, t, hkv, group, hd, eps, base)
+                new_caches.append((ck, cv))
+            return _rms(x, normg, eps) @ head["w"] + head["b"], new_caches
+        x = emb[tok] + pos[0, t]
         for l in range(n_blocks):
             ck, cv = caches[l]
             x, ck, cv = _block_step(blocks[l], x, ck, cv, t, heads, eps,
@@ -132,13 +257,13 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None):
     def pick(logits, key):
         if not temperature:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(
-            key, logits / temperature, axis=-1).astype(jnp.int32)
+        logits = _filter_logits(logits / temperature, top_k, top_p)
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
     @jax.jit
     def run(prompt, key):
-        caches = [(jnp.zeros((b, heads, t_max, hd), jnp.float32),
-                   jnp.zeros((b, heads, t_max, hd), jnp.float32))
+        caches = [(jnp.zeros((b, cache_heads, t_max, cache_hd), jnp.float32),
+                   jnp.zeros((b, cache_heads, t_max, cache_hd), jnp.float32))
                   for _ in range(n_blocks)]
 
         # prefill: feed the prompt token-by-token through the SAME cached

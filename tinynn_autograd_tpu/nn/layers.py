@@ -159,6 +159,46 @@ class LayerNorm(Layer):
         self._is_init = True
 
 
+class RMSNorm(Layer):
+    """RMS normalization over the last axis with a learned scale only —
+    no centering, no shift (ops.rms_norm_ fused primitive, hand VJP).
+    The llama-family norm: cheaper than LayerNorm (no mean pass) and the
+    standard choice for modern decoder LMs. ``dim`` may be omitted and is
+    inferred from the first input. Stateless — runs in every execution
+    tier. No reference counterpart."""
+
+    def __init__(self, dim=None, eps=1e-6, gamma_init=None):
+        super().__init__("RMSNorm")
+        self.eps = eps
+        self.initializers = {
+            "g": gamma_init if gamma_init is not None else OnesInit(),
+        }
+        self.shapes = {"g": [1, dim]}
+        self.params = {"g": None}
+        self._is_init = False
+        if dim is not None:
+            self._init_parameters(dim)
+
+    @property
+    def is_init(self):
+        return self._is_init
+
+    def forward(self, inputs):
+        if not self._is_init:
+            self._init_parameters(inputs.shape[-1])
+        return ops.rms_norm_(inputs, self.params["g"], eps=self.eps)
+
+    def init_params(self, input_shape):
+        if not self._is_init:
+            self._init_parameters(input_shape[-1])
+        return tuple(input_shape)
+
+    def _init_parameters(self, dim):
+        self.shapes = {"g": [1, int(dim)]}
+        self.params["g"] = self.initializers["g"](self.shapes["g"])
+        self._is_init = True
+
+
 class Embedding(Layer):
     """Token embedding: int ids [..] -> vectors [.., dim] via table lookup.
     The lookup is ``ops.getitem_`` whose VJP scatter-ADDS (repeated tokens
@@ -349,6 +389,132 @@ class TransformerBlock(Layer):
 
         yn = ops.layer_norm_(x, p["g2"], p["be2"], eps=self.eps)
         y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+        if drop and self.dropout > 0.0:
+            y = ops.dropout_(y, self.dropout, keys[2])
+        return x + y
+
+
+def _repeat_heads(x, group):
+    """[B, Hkv, T, hd] -> [B, Hkv*group, T, hd]: repeat each kv head
+    ``group`` times (GQA's kv -> query-head broadcast). Tape-level: a
+    reshape, a broadcasting multiply by ones — whose mul_ unbroadcast SUMS
+    the cotangents over the group axis, which is exactly GQA's dk/dv
+    reduction — and a reshape back. XLA fuses the broadcast into the
+    consumer, so no repeated copy materializes in the forward."""
+    b, hkv, t, hd = x.shape
+    x5 = x.reshape((b, hkv, 1, t, hd))
+    rep = x5 * np.ones((1, 1, group, 1, 1), np.float32)
+    return rep.reshape((b, hkv * group, t, hd))
+
+
+class LlamaBlock(Layer):
+    """Modern decoder block (llama-family): pre-RMSNorm, rotary position
+    embeddings (RoPE) on q/k, grouped-query attention, SwiGLU MLP, and no
+    biases anywhere — the standard contemporary LM block, built on the
+    SAME tape primitives and flash-attention kernels as TransformerBlock.
+
+    ``num_kv_heads`` < ``num_heads`` enables GQA (``num_kv_heads=1`` is
+    MQA): K/V are projected at Hkv heads — the parameter AND KV-cache
+    saving — and broadcast to the query heads before the attention
+    primitive (see _repeat_heads; the serving path in models/generate.py
+    keeps the cache at Hkv heads end-to-end). ``mlp_ratio`` sizes the
+    SwiGLU hidden dim as round(dim * ratio / 8) * 8 (lane-aligned); the
+    default 8/3 matches llama's parameter budget vs a ratio-4 GELU MLP.
+
+    Positions come from RoPE, so llama nets need no PositionalEmbedding
+    layer and the block is translation-aware by construction. ``attn``
+    and the two dropout knobs behave exactly as in TransformerBlock
+    (in-kernel replayed masks under ``attn="fused"``). No reference
+    counterpart (the reference has no attention or sequence models).
+    """
+
+    _set_rng = TransformerBlock._set_rng
+    _drop_keys = TransformerBlock._drop_keys
+    _mask = TransformerBlock._mask
+
+    def __init__(self, dim, num_heads, num_kv_heads=None, mlp_ratio=8 / 3,
+                 causal=True, w_init=None, eps=1e-6, rope_base=10000.0,
+                 seed=None, attn="fused", dropout=0.0, attn_dropout=0.0):
+        super().__init__("LlamaBlock")
+        assert dim % num_heads == 0, (dim, num_heads)
+        assert attn in ("fused", "tape"), attn
+        num_kv_heads = num_heads if num_kv_heads is None else num_kv_heads
+        assert num_heads % num_kv_heads == 0, (num_heads, num_kv_heads)
+        self.dim = dim
+        self.num_heads = num_heads
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = dim // num_heads
+        self.causal = causal
+        self.attn = attn
+        self.dropout = dropout
+        self.attn_dropout = attn_dropout
+        self.eps = eps
+        self.rope_base = float(rope_base)
+        self._rng = None
+        if dropout or attn_dropout:
+            self.set_rng = self._set_rng
+        init = w_init if w_init is not None else XavierUniformInit()
+        hidden = max(8, int(round(dim * mlp_ratio / 8)) * 8)
+        self.hidden = hidden
+        kv_dim = num_kv_heads * self.head_dim
+        self.shapes = {
+            "wq": [dim, dim], "wk": [dim, kv_dim], "wv": [dim, kv_dim],
+            "wo": [dim, dim],
+            "w1": [dim, hidden], "w3": [dim, hidden], "w2": [hidden, dim],
+            "g1": [1, dim], "g2": [1, dim],
+        }
+        ones = OnesInit()
+        self.params = {}
+        with _init_scope(seed):
+            for key, shape in self.shapes.items():
+                self.params[key] = (ones(shape) if key.startswith("g")
+                                    else init(shape))
+
+    def init_params(self, input_shape):
+        return tuple(input_shape)
+
+    def forward(self, inputs):
+        p = self.params
+        b, t, d = inputs.shape
+        h, hkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+
+        drop = (self.is_training
+                and (self.dropout > 0.0 or self.attn_dropout > 0.0))
+        keys = self._drop_keys() if drop else None
+
+        xn = ops.rms_norm_(inputs, p["g1"], eps=self.eps)
+        q = (xn @ p["wq"]).reshape((b, t, h, hd)).transpose((0, 2, 1, 3))
+        k = (xn @ p["wk"]).reshape((b, t, hkv, hd)).transpose((0, 2, 1, 3))
+        v = (xn @ p["wv"]).reshape((b, t, hkv, hd)).transpose((0, 2, 1, 3))
+        q = ops.rope_(q, base=self.rope_base)
+        k = ops.rope_(k, base=self.rope_base)
+        if hkv != h:
+            k = _repeat_heads(k, h // hkv)
+            v = _repeat_heads(v, h // hkv)
+        if self.attn == "fused":
+            attn_rate = (self.attn_dropout
+                         if drop and self.attn_dropout > 0.0 else 0.0)
+            ctx_h = ops.flash_attention_(
+                q, k, v, causal=self.causal, scale=1.0 / np.sqrt(hd),
+                dropout_rate=attn_rate,
+                dropout_rng=keys[0] if attn_rate else None)
+        else:
+            scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
+            mask = self._mask(t)
+            if mask is not None:
+                scores = scores + mask
+            attn = ops.softmax_(scores, axis=-1)
+            if drop and self.attn_dropout > 0.0:
+                attn = ops.dropout_(attn, self.attn_dropout, keys[0])
+            ctx_h = attn @ v
+        ctx = ctx_h.transpose((0, 2, 1, 3)).reshape((b, t, d))
+        attn_out = ctx @ p["wo"]
+        if drop and self.dropout > 0.0:
+            attn_out = ops.dropout_(attn_out, self.dropout, keys[1])
+        x = inputs + attn_out
+
+        yn = ops.rms_norm_(x, p["g2"], eps=self.eps)
+        y = (ops.silu_(yn @ p["w1"]) * (yn @ p["w3"])) @ p["w2"]
         if drop and self.dropout > 0.0:
             y = ops.dropout_(y, self.dropout, keys[2])
         return x + y

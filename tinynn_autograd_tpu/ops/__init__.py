@@ -45,7 +45,10 @@ from tinynn_autograd_tpu.ops.primitives import (
     relu_,
     replicate_grad_,
     reshape_,
+    rms_norm_,
+    rope_,
     sigmoid_,
+    silu_,
     softmax_,
     split_axis_,
     softplus_,
@@ -147,6 +150,10 @@ def softplus(obj):
 
 def gelu(obj):
     return gelu_(_as_tensor(obj))
+
+
+def silu(obj):
+    return silu_(_as_tensor(obj))
 
 
 def abs(obj):  # noqa: A001

@@ -521,6 +521,22 @@ def softplus_(ts):
     return build_unary_ops_tensor(ts, grad_fn, values)
 
 
+def silu_(ts):
+    """SiLU / swish: x * sigmoid(x); d/dx = s * (1 + x * (1 - s)).
+
+    The gate activation of SwiGLU MLPs (LlamaBlock). No reference
+    counterpart (the reference's activation zoo is Sigmoid/Tanh/ReLU,
+    core/layers.py:74-98)."""
+    x = ts.data
+    s = jax.nn.sigmoid(x)
+    values = x * s
+
+    def grad_fn(grad):
+        return grad * s * (1.0 + x * (1.0 - s))
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
+
+
 def gelu_(ts):
     """Tanh-approximation GELU with its exact hand derivative."""
     x = ts.data
@@ -680,6 +696,90 @@ def layer_norm_(ts_x, ts_gamma, ts_beta, eps=1e-5):
     if ts_beta.requires_grad:
         dependency.append((ts_beta, grad_fn_beta))
     return ts_x.__class__(values, requires_grad, dependency)
+
+
+def rms_norm_(ts_x, ts_gamma, eps=1e-6):
+    """RMS normalization over the LAST axis with a learned scale (no
+    centering, no shift — the llama-family norm): y = x * rsqrt(mean(x^2)
+    + eps) * gamma.
+
+    Hand VJP (no jax.grad). With r = rsqrt(mean(x^2) + eps) and
+    xhat = x * r:
+      dx     = (gamma*g - xhat * mean(gamma*g * xhat)) * r
+      dgamma = sum over leading axes of g * xhat  (unbroadcast to shape)
+    — the layer_norm_ rule without the mean-subtraction term. One fused
+    primitive keeps the tape short; XLA emits a single normalization
+    kernel. (No reference counterpart — the reference has no
+    normalization layers.)"""
+    x, gamma = ts_x.data, ts_gamma.data
+    r = jax.lax.rsqrt((x * x).mean(axis=-1, keepdims=True) + eps)
+    xhat = x * r
+    values = xhat * gamma
+
+    def grad_fn_x(grad):
+        gg = grad * gamma
+        m2 = (gg * xhat).mean(axis=-1, keepdims=True)
+        return (gg - xhat * m2) * r
+
+    def grad_fn_gamma(grad):
+        return unbroadcast(grad * xhat, ts_gamma.shape)
+
+    requires_grad = ts_x.requires_grad or ts_gamma.requires_grad
+    dependency = []
+    if ts_x.requires_grad:
+        dependency.append((ts_x, grad_fn_x))
+    if ts_gamma.requires_grad:
+        dependency.append((ts_gamma, grad_fn_gamma))
+    return ts_x.__class__(values, requires_grad, dependency)
+
+
+def _rope_tables(t, half, base, positions, dtype):
+    """cos/sin tables [T, half] for rotary embedding: angle(p, i) =
+    p * base^(-i/half)."""
+    if positions is None:
+        positions = jnp.arange(t, dtype=jnp.float32)
+    else:
+        positions = jnp.asarray(positions).astype(jnp.float32)
+    inv_freq = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = positions[:, None] * inv_freq[None, :]
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+def rope_(ts, base=10000.0, positions=None):
+    """Rotary position embedding (RoPE) over the last axis, half-split
+    (GPT-NeoX / llama) convention: x [..., T, d] with d even; lane i pairs
+    with lane i + d/2 and the pair is rotated by angle
+    pos * base^(-2i/d):
+      y1 = x1*cos - x2*sin ;  y2 = x2*cos + x1*sin
+
+    The half-split form keeps both halves CONTIGUOUS — no stride-2
+    gathers, so Mosaic/XLA lower it as two lane-aligned slices and fused
+    elementwise math (the interleaved convention would relayout on TPU).
+
+    ``positions``: optional int/float [T] position ids (defaults to
+    arange(T)); serving passes the absolute offset of a decoded token.
+
+    Hand VJP: per (position, pair) the map is an orthogonal 2-D rotation,
+    so the backward rotates the cotangent by the NEGATED angle:
+      g1' = g1*cos + g2*sin ;  g2' = g2*cos - g1*sin
+    (No reference counterpart — the reference has no sequence models.)"""
+    x = ts.data
+    d = x.shape[-1]
+    t = x.shape[-2]
+    if d % 2:
+        raise ValueError("rope_ needs an even last dim, got %d" % d)
+    half = d // 2
+    cos, sin = _rope_tables(t, half, float(base), positions, x.dtype)
+    x1, x2 = x[..., :half], x[..., half:]
+    values = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+    def grad_fn(grad):
+        g1, g2 = grad[..., :half], grad[..., half:]
+        return jnp.concatenate(
+            [g1 * cos + g2 * sin, g2 * cos - g1 * sin], axis=-1)
+
+    return build_unary_ops_tensor(ts, grad_fn, values)
 
 
 def batch_norm_(ts_x, ts_gamma, ts_beta, axes=(0,), eps=1e-5):
