@@ -374,3 +374,95 @@ def test_tp_dropout_keeps_replicated_params_in_sync():
                             "devices under dropout" % (li, name))
             checked += 1
     assert checked > 0
+
+
+# -------------------------------------------------------------- LlamaBlock
+
+
+def _llama_model(seed, heads=8, kv_heads=4, depth=2):
+    from tinynn_autograd_tpu.models import build_tiny_llama
+
+    random_seed(seed)
+    net = build_tiny_llama(vocab=16, dim=32, heads=heads,
+                           kv_heads=kv_heads, depth=depth)
+    return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+
+def _llama_data(n=16, t=8):
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 16, (n, t))
+    y = np.eye(16, dtype=np.float32)[(x + 1) % 16]
+    return x, y
+
+
+def test_tp_llama_matches_single_device():
+    """Megatron head-sharded GQA llama: wk/wv column shards are BY KV
+    HEAD, so each query head's kv head stays local (group 2 on a 4-mesh);
+    RoPE/RMSNorm/SwiGLU all on local shards. Must train identically to
+    single-device."""
+    x, y = _llama_data()
+    tp = TensorParallel(_llama_model(1),
+                        mesh=make_mesh(4, axis_name="model"))
+    ref = _llama_model(1)
+    for _ in range(4):
+        np.testing.assert_allclose(float(tp.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=5e-5, atol=1e-6)
+    gathered = tp.gather_params()
+    for layer_tp, layer_ref in zip(gathered, ref._params):
+        for k in layer_ref:
+            np.testing.assert_allclose(
+                layer_tp[k], np.asarray(layer_ref[k]),
+                rtol=3e-4, atol=1e-5)
+
+
+def test_tp_llama_sequence_parallel_matches_single_device():
+    x, y = _llama_data(n=16, t=8)
+    sp = TensorParallel(_llama_model(2),
+                        mesh=make_mesh(4, axis_name="model"),
+                        sequence_parallel=True)
+    ref = _llama_model(2)
+    for _ in range(3):
+        np.testing.assert_allclose(float(sp.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_tp_llama_shard_layout():
+    x, y = _llama_data(8)
+    tp = TensorParallel(_llama_model(3),
+                        mesh=make_mesh(4, axis_name="model"))
+    tp.train_step(x, y)
+    # net: (emb, block, block, rmsnorm, dense)
+    blk = tp._params[1]
+    assert blk["wq"].shape == (32, 32)
+    assert blk["wq"].addressable_shards[0].data.shape == (32, 8)  # 2 q heads
+    assert blk["wk"].shape == (32, 16)  # 4 kv heads * hd 4
+    assert blk["wk"].addressable_shards[0].data.shape == (32, 4)  # 1 kv head
+    assert blk["wo"].addressable_shards[0].data.shape == (8, 32)  # row
+    assert blk["w1"].addressable_shards[0].data.shape == (32, 22)  # col (88/4)
+    assert blk["w3"].addressable_shards[0].data.shape == (32, 22)  # col
+    assert blk["w2"].addressable_shards[0].data.shape == (22, 32)  # row
+    assert blk["g1"].addressable_shards[0].data.shape == (1, 32)   # rep
+
+
+def test_tp_llama_rejects_indivisible_kv_heads():
+    x, y = _llama_data(8)
+    tp = TensorParallel(_llama_model(4, heads=8, kv_heads=2),
+                        mesh=make_mesh(4, axis_name="model"))
+    with pytest.raises(ValueError, match="kv heads"):
+        tp.train_step(x, y)
+
+
+def test_tp_llama_dropout_trains():
+    from tinynn_autograd_tpu.models import build_tiny_llama
+
+    random_seed(77)
+    net = build_tiny_llama(vocab=16, dim=32, heads=8, kv_heads=4,
+                           depth=1, dropout=0.1, attn_dropout=0.1)
+    tp = TensorParallel(Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1)),
+                        mesh=make_mesh(4, axis_name="model"))
+    x, y = _llama_data(8)
+    losses = [float(tp.train_step(x, y)) for _ in range(6)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -48,7 +48,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
-from tinynn_autograd_tpu.nn.layers import Dense, TransformerBlock
+from tinynn_autograd_tpu.nn.layers import Dense, LlamaBlock, TransformerBlock
 from tinynn_autograd_tpu.parallel._common import (
     adopt_pending_opt, bind_traced_layer, rebind_concrete, shard_opt_state,
     wrapper_load, wrapper_save,
@@ -109,7 +109,7 @@ class TensorParallel:
         col / w2 row). Other layers run replicated."""
         denses = [l for l in self.net.layers if isinstance(l, Dense)]
         for layer in self.net.layers:
-            if isinstance(layer, TransformerBlock):
+            if isinstance(layer, (TransformerBlock, LlamaBlock)):
                 if layer.num_heads % self.n_devices:
                     raise ValueError(
                         "%d heads don't divide over %d devices"
@@ -118,6 +118,14 @@ class TensorParallel:
                     raise ValueError(
                         "MLP hidden %d doesn't divide over %d devices"
                         % (layer.shapes["w1"][1], self.n_devices))
+            if isinstance(layer, LlamaBlock):
+                if layer.num_kv_heads % self.n_devices:
+                    raise ValueError(
+                        "GQA: %d kv heads don't divide over %d devices "
+                        "(MQA/GQA narrower than the mesh would need kv "
+                        "replication — shard fewer ways or raise "
+                        "num_kv_heads)" % (layer.num_kv_heads,
+                                           self.n_devices))
         # pair only CONSECUTIVE Dense runs: a pair spanning a non-Dense,
         # non-Activation layer (e.g. a TransformerBlock or LayerNorm) would
         # feed feature-sharded activations into full-width replicated math
@@ -158,8 +166,12 @@ class TensorParallel:
         return P()                            # row bias + replicated layers
 
     def _block_spec(self, name):
-        """Megatron layout for a TransformerBlock's flat param dict."""
-        if name in ("wq", "wk", "wv", "w1", "b1"):
+        """Megatron layout for a TransformerBlock's flat param dict.
+        The SAME rule covers LlamaBlock: wq/wk/wv column-sharded by head
+        group (wk/wv's columns are kv heads — GQA shards Hkv/n of them
+        per device, keeping each query head's kv head local), w1/w3
+        (SwiGLU gate+up) column, wo/w2 row, norm gains replicated."""
+        if name in ("wq", "wk", "wv", "w1", "w3", "b1"):
             return P(None, self.axis_name)    # column (output) sharded
         if name in ("wo", "w2"):
             return P(self.axis_name, None)    # row (input) sharded
@@ -183,7 +195,7 @@ class TensorParallel:
                         ts.data, NamedSharding(self.mesh, spec))
                     layer_specs[name] = spec
                 dense_i += 1
-            elif isinstance(layer, TransformerBlock):
+            elif isinstance(layer, (TransformerBlock, LlamaBlock)):
                 for name, ts in layer.params.items():
                     spec = self._block_spec(name)
                     layer_tree[name] = jax.device_put(
@@ -222,7 +234,8 @@ class TensorParallel:
         tensors = []   # per-layer dict of param Tensors (for grads)
         for li, layer in enumerate(self.net.layers):
             if (seq_sharded
-                    and not isinstance(layer, TransformerBlock)):
+                    and not isinstance(layer,
+                                       (TransformerBlock, LlamaBlock))):
                 # leaving the block chain: back to the replicated layout
                 # (gather_axis_, NOT all_gather_: downstream is replicated,
                 # so the VJP must slice, not reduce-scatter)
@@ -244,7 +257,7 @@ class TensorParallel:
                 else:  # rep: replicated weights, replicated activations
                     h = h @ w + b
                 dense_i += 1
-            elif isinstance(layer, TransformerBlock):
+            elif isinstance(layer, (TransformerBlock, LlamaBlock)):
                 if self.sequence_parallel and not seq_sharded:
                     if h.shape[1] % self.n_devices:
                         raise ValueError(
@@ -252,9 +265,11 @@ class TensorParallel:
                             "devices" % (h.shape[1], self.n_devices))
                     h = ops.split_axis_(h, axis, self.n_devices, axis=1)
                     seq_sharded = True
-                h, p = self._tp_block_forward(layer, params[li], h,
-                                              seq_sharded, rep_rng,
-                                              loc_rng, li)
+                fwd = (self._tp_llama_block_forward
+                       if isinstance(layer, LlamaBlock)
+                       else self._tp_block_forward)
+                h, p = fwd(layer, params[li], h, seq_sharded, rep_rng,
+                           loc_rng, li)
                 tensors.append(p)
             elif params[li]:
                 # replicated-param layer: bind traced params so they train
@@ -351,6 +366,84 @@ class TensorParallel:
         out = x2 + mlp_out
         return out, p
 
+    def _tp_llama_block_forward(self, layer, params, h, seq_sharded=False,
+                                rep_rng=None, loc_rng=None, li=0):
+        """Megatron head-sharded LlamaBlock forward on local shards — the
+        llama-family twin of _tp_block_forward: RMSNorm replaces
+        LayerNorm, RoPE rotates the local q/k heads (position tables are
+        head-independent, so rotating local heads == slicing the rotated
+        full set), GQA keeps Hkv/n kv heads per device — the column shard
+        of wk/wv is BY KV HEAD, so each query head's kv head is local and
+        attention still needs no communication — and the MLP fan-in/out
+        wraps the SwiGLU pair (w1/w3 column-sharded, w2 row-sharded, no
+        biases). Same collective pattern and dropout rng discipline as
+        the TransformerBlock path; numerics == the replicated block."""
+        from tinynn_autograd_tpu.nn.layers import _repeat_heads
+
+        axis = self.axis_name
+        n = self.n_devices
+        p = {k: Tensor(v, requires_grad=True) for k, v in params.items()}
+        b, t_loc, d = h.shape
+        t = t_loc * n if seq_sharded else t_loc
+        h_loc = layer.num_heads // n
+        hkv_loc = layer.num_kv_heads // n
+        group = layer.num_heads // layer.num_kv_heads
+        hd = layer.head_dim
+        drop = (layer.is_training and loc_rng is not None
+                and (layer.dropout > 0.0 or layer.attn_dropout > 0.0))
+        if drop:
+            k_attn = jax.random.fold_in(loc_rng, 2 * li)
+            res_src = loc_rng if seq_sharded else rep_rng
+            k_res1, k_res2 = jax.random.split(
+                jax.random.fold_in(res_src, 2 * li + 1))
+        else:
+            k_attn = k_res1 = k_res2 = None
+
+        def split_heads(x, nh):  # [B,T,nh*hd] -> [B,nh,T,hd]
+            return x.reshape((b, t, nh, hd)).transpose((0, 2, 1, 3))
+
+        def fan_out(x):
+            if seq_sharded:
+                return ops.all_gather_(x, axis, axis=1)   # Megatron g
+            return ops.replicate_grad_(x, axis)           # Megatron f
+
+        def fan_in(x):
+            if seq_sharded:
+                return ops.psum_scatter_(x, axis, axis=1)
+            return ops.psum_(x, axis)
+
+        xn = ops.rms_norm_(h, p["g1"], eps=layer.eps)
+        xf = fan_out(xn)
+        q = ops.rope_(split_heads(xf @ p["wq"], h_loc),
+                      base=layer.rope_base)
+        k = ops.rope_(split_heads(xf @ p["wk"], hkv_loc),
+                      base=layer.rope_base)
+        v = split_heads(xf @ p["wv"], hkv_loc)
+        if group != 1:
+            k = _repeat_heads(k, group)
+            v = _repeat_heads(v, group)
+        scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
+        mask = layer._mask(t)
+        if mask is not None:
+            scores = scores + mask
+        attn = ops.softmax_(scores, axis=-1)
+        if drop and layer.attn_dropout > 0.0:
+            attn = ops.dropout_(attn, layer.attn_dropout, k_attn)
+        ctx = (attn @ v).transpose((0, 2, 1, 3)).reshape((b, t, d // n))
+        attn_out = fan_in(ctx @ p["wo"])
+        if drop and layer.dropout > 0.0:
+            attn_out = ops.dropout_(attn_out, layer.dropout, k_res1)
+        x2 = h + attn_out
+
+        yn = ops.rms_norm_(x2, p["g2"], eps=layer.eps)
+        yf = fan_out(yn)
+        y = (ops.silu_(yf @ p["w1"]) * (yf @ p["w3"])) @ p["w2"]
+        mlp_out = fan_in(y)
+        if drop and layer.dropout > 0.0:
+            mlp_out = ops.dropout_(mlp_out, layer.dropout, k_res2)
+        out = x2 + mlp_out
+        return out, p
+
     # -------------------------------------------------------------- build
 
     def _build(self):
@@ -394,6 +487,10 @@ class TensorParallel:
                 for li, lyr in enumerate(self.net.layers):
                     if isinstance(lyr, TransformerBlock) and grads[li]:
                         for kk in ("g1", "be1", "g2", "be2", "b2"):
+                            grads[li][kk] = jax.lax.psum(
+                                grads[li][kk], axis)
+                    elif isinstance(lyr, LlamaBlock) and grads[li]:
+                        for kk in ("g1", "g2"):  # llama has no biases
                             grads[li][kk] = jax.lax.psum(
                                 grads[li][kk], axis)
             if data_axis is not None:
