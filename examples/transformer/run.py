@@ -4,6 +4,9 @@ next-token on a synthetic deterministic grammar, end-to-end on the tape
 
     python examples/transformer/run.py --steps 200
     TINYNN_TPU_PLATFORM=cpu python examples/transformer/run.py   # force CPU
+    python examples/transformer/run.py --model llama --top_p 0.9 \
+        --temperature 0.8   # llama family (RMSNorm+RoPE+GQA+SwiGLU),
+                            # nucleus-sampled decode alongside greedy
 """
 
 import argparse
@@ -25,6 +28,18 @@ def main():
     parser.add_argument("--remat", action="store_true",
                         help="checkpoint each block (activation memory "
                              "O(1) in depth; one extra forward in bwd)")
+    parser.add_argument("--model", choices=("classic", "llama"),
+                        default="classic",
+                        help="classic: LayerNorm + learned positions + "
+                             "GELU MLP; llama: RMSNorm + RoPE + "
+                             "grouped-query attention + SwiGLU")
+    parser.add_argument("--kv_heads", type=int, default=2,
+                        help="llama GQA kv heads (< heads shrinks the "
+                             "decode KV cache)")
+    parser.add_argument("--temperature", type=float, default=0.0,
+                        help="sampled decode demo temperature (0 = skip)")
+    parser.add_argument("--top_k", type=int, default=None)
+    parser.add_argument("--top_p", type=float, default=None)
     args = parser.parse_args()
 
     import numpy as np
@@ -36,7 +51,7 @@ def main():
                           os.environ["TINYNN_TPU_PLATFORM"])
 
     from tinynn_autograd_tpu.core.tensor import Tensor
-    from tinynn_autograd_tpu.models import build_tiny_lm
+    from tinynn_autograd_tpu.models import build_tiny_llama, build_tiny_lm
     from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
     from tinynn_autograd_tpu.nn.model import Model
     from tinynn_autograd_tpu.nn.optimizer import Adam
@@ -44,8 +59,13 @@ def main():
 
     random_seed(args.seed)
     V, T = args.vocab, args.seq_len
-    net = build_tiny_lm(vocab=V, seq_len=T, dim=64, heads=4, depth=2,
-                        remat=args.remat)
+    if args.model == "llama":
+        net = build_tiny_llama(vocab=V, dim=64, heads=4,
+                               kv_heads=args.kv_heads, depth=2,
+                               remat=args.remat)
+    else:
+        net = build_tiny_lm(vocab=V, seq_len=T, dim=64, heads=4, depth=2,
+                            remat=args.remat)
     model = Model(net, SoftmaxCrossEntropyLoss(), Adam(args.lr))
 
     # synthetic deterministic grammar: x_{t+1} = (3*x_t + 1) mod V, random
@@ -91,6 +111,19 @@ def main():
     follow = (3 * out[:, :-1] + 1) % V
     kv_acc = (out[:, 1:] == follow).mean()
     print("kv-cache decode grammar-follow accuracy: %.3f" % kv_acc)
+
+    if args.temperature > 0:
+        import jax
+
+        out = np.asarray(generate(
+            model.net, prompt, n_new=T - 2, temperature=args.temperature,
+            top_k=args.top_k, top_p=args.top_p,
+            rng=jax.random.PRNGKey(args.seed)))
+        follow = (3 * out[:, :-1] + 1) % V
+        s_acc = (out[:, 1:] == follow).mean()
+        print("sampled decode (temp %.2f, top_k %s, top_p %s) "
+              "grammar-follow accuracy: %.3f"
+              % (args.temperature, args.top_k, args.top_p, s_acc))
 
 
 if __name__ == "__main__":
