@@ -121,6 +121,82 @@ def _rope_one(x, t, base):
                            axis=-1)
 
 
+def _rope_batch(x, base):
+    """Rotate [B, H, T, hd] heads to positions 0..T-1 (prefill-time
+    counterpart of ops.rope_, same half-split convention)."""
+    t, hd = x.shape[-2], x.shape[-1]
+    half = hd // 2
+    inv_freq = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = jnp.arange(t, dtype=jnp.float32)[:, None] * inv_freq[None, :]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1)
+
+
+def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max):
+    """Batched prefill — the serving-standard prefill/decode split: ONE
+    fused forward over the whole prompt [B, T0] computes every block's
+    K/V for all prompt positions (written into the static-size caches)
+    and the last position's logits, instead of T0 sequential single-token
+    steps. Exact same math as the cached step, batched over positions."""
+    b, t0 = prompt.shape
+    d = emb.shape[1]
+    hd = d // heads
+    x = emb[prompt] + pos[:, :t0]
+    mask = jnp.tril(jnp.ones((t0, t0), bool))
+    caches = []
+    for bp in blocks:
+        xn = _ln(x, bp["g1"], bp["be1"], eps)
+        q = (xn @ bp["wq"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
+        k = (xn @ bp["wk"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
+        v = (xn @ bp["wv"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
+        pad = [(0, 0), (0, 0), (0, t_max - t0), (0, 0)]
+        caches.append((jnp.pad(k, pad), jnp.pad(v, pad)))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(hd)
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                         preferred_element_type=jnp.float32)
+        x = x + ctx.transpose(0, 2, 1, 3).reshape(b, t0, d) @ bp["wo"]
+        yn = _ln(x, bp["g2"], bp["be2"], eps)
+        x = x + _gelu(yn @ bp["w1"] + bp["b1"]) @ bp["w2"] + bp["b2"]
+    return x[:, -1] @ head["w"] + head["b"], caches
+
+
+def _prefill_llama(blocks, emb, normg, head, hkv, group, hd, eps, base,
+                   prompt, t_max):
+    """Batched llama prefill: one fused pass filling the GQA caches
+    (held at Hkv heads) for all prompt positions."""
+    b, t0 = prompt.shape
+    d = emb.shape[1]
+    h = hkv * group
+    x = emb[prompt]
+    mask = jnp.tril(jnp.ones((t0, t0), bool))
+    caches = []
+    for bp in blocks:
+        xn = _rms(x, bp["g1"], eps)
+        q = (xn @ bp["wq"]).reshape(b, t0, h, hd).transpose(0, 2, 1, 3)
+        k = (xn @ bp["wk"]).reshape(b, t0, hkv, hd).transpose(0, 2, 1, 3)
+        v = (xn @ bp["wv"]).reshape(b, t0, hkv, hd).transpose(0, 2, 1, 3)
+        q, k = _rope_batch(q, base), _rope_batch(k, base)
+        pad = [(0, 0), (0, 0), (0, t_max - t0), (0, 0)]
+        caches.append((jnp.pad(k, pad), jnp.pad(v, pad)))
+        qg = q.reshape(b, hkv, group, t0, hd)
+        s = jnp.einsum("bkgqd,bkcd->bkgqc", qg, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(hd)
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bkgqc,bkcd->bkgqd", p, v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(b, h, t0, hd).transpose(0, 2, 1, 3)
+        x = x + ctx.reshape(b, t0, d) @ bp["wo"]
+        yn = _rms(x, bp["g2"], eps)
+        x = x + (jax.nn.silu(yn @ bp["w1"]) * (yn @ bp["w3"])) @ bp["w2"]
+    return _rms(x[:, -1], normg, eps) @ head["w"] + head["b"], caches
+
+
 def _block_step(bp, x, cache_k, cache_v, t, heads, eps, t_max):
     """One transformer block on ONE token x [B, D] at position t, reading
     and appending the block's KV cache [B, H, T_max, hd]."""
@@ -262,21 +338,16 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
 
     @jax.jit
     def run(prompt, key):
-        caches = [(jnp.zeros((b, cache_heads, t_max, cache_hd), jnp.float32),
-                   jnp.zeros((b, cache_heads, t_max, cache_hd), jnp.float32))
-                  for _ in range(n_blocks)]
-
-        # prefill: feed the prompt token-by-token through the SAME cached
-        # step (exact parity with decode; T0 is small for LM prompts here)
-        def prefill_body(carry, t):
-            caches, _last = carry
-            logits, caches = token_logits(prompt[:, t], t, caches)
-            return (caches, logits), ()
-
-        (caches, logits), _ = jax.lax.scan(
-            prefill_body,
-            (caches, jnp.zeros((b, head["w"].shape[1]), jnp.float32)),
-            jnp.arange(t0))
+        # batched prefill: ONE fused forward over the whole prompt fills
+        # every cache and yields the last position's logits (the serving
+        # prefill/decode split — O(1) dispatches instead of T0 steps)
+        if is_llama:
+            logits, caches = _prefill_llama(
+                blocks, emb, normg, head, hkv, group, hd, eps, base,
+                prompt, t_max)
+        else:
+            logits, caches = _prefill_classic(
+                blocks, emb, pos, head, heads, eps, prompt, t_max)
 
         def decode_body(carry, i):
             caches, logits, key = carry
