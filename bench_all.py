@@ -408,6 +408,116 @@ def bench_transformer_long_dropout():
          oracle_rates)
 
 
+def _llama_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
+    """EXTERNAL floor oracle for the llama config: hand-written pure-JAX
+    (jax.grad) training step of the SAME model — RMSNorm, RoPE, GQA (kv
+    repeated with jnp.repeat — the standard XLA formulation), SwiGLU,
+    standard materialized-score attention. Weights copied from the net,
+    same shuffle/scan/one-dispatch amortization, same Adam rule."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.nn.layers import Dense, Embedding, LlamaBlock
+    from tinynn_autograd_tpu.nn.layers import RMSNorm as RMSNormLayer
+
+    blocks, emb, head, norm = [], None, None, None
+    h = hkv = hd = eps = base = None
+    for layer in net.layers:
+        if isinstance(layer, Embedding):
+            emb = layer.params["w"].data
+        elif isinstance(layer, LlamaBlock):
+            h, hkv, hd = (layer.num_heads, layer.num_kv_heads,
+                          layer.head_dim)
+            eps, base = layer.eps, layer.rope_base
+            blocks.append({k: v.data for k, v in layer.params.items()})
+        elif isinstance(layer, RMSNormLayer):
+            norm = layer.params["g"].data
+        elif isinstance(layer, Dense):
+            head = {k: v.data for k, v in layer.params.items()}
+    params = {"emb": emb, "blocks": blocks, "norm": norm, "head": head}
+
+    def rms(x, g):
+        return x * jax.lax.rsqrt((x * x).mean(-1, keepdims=True) + eps) * g
+
+    def rope(x):
+        t, d = x.shape[-2], x.shape[-1]
+        half = d // 2
+        inv = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
+        ang = jnp.arange(t, dtype=jnp.float32)[:, None] * inv[None, :]
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+        x1, x2 = x[..., :half], x[..., half:]
+        return jnp.concatenate([x1 * cos - x2 * sin,
+                                x2 * cos + x1 * sin], -1)
+
+    def fwd(p, ids):
+        x = p["emb"][ids]
+        bsz, t, d = x.shape
+        mask = jnp.asarray(np.tril(np.ones((t, t), np.float32))) == 1.0
+        for bp in p["blocks"]:
+            xn = rms(x, bp["g1"])
+            q = (xn @ bp["wq"]).reshape(bsz, t, h, hd).transpose(0, 2, 1, 3)
+            k = (xn @ bp["wk"]).reshape(bsz, t, hkv, hd).transpose(
+                0, 2, 1, 3)
+            v = (xn @ bp["wv"]).reshape(bsz, t, hkv, hd).transpose(
+                0, 2, 1, 3)
+            q, k = rope(q), rope(k)
+            if hkv != h:
+                k = jnp.repeat(k, h // hkv, axis=1)
+                v = jnp.repeat(v, h // hkv, axis=1)
+            s = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(hd)
+            s = jnp.where(mask, s, -1e30)
+            att = jax.nn.softmax(s, axis=-1)
+            ctx = (att @ v).transpose(0, 2, 1, 3).reshape(bsz, t, d)
+            x = x + ctx @ bp["wo"]
+            yn = rms(x, bp["g2"])
+            x = x + (jax.nn.silu(yn @ bp["w1"]) * (yn @ bp["w3"])) \
+                @ bp["w2"]
+        return rms(x, p["norm"]) @ p["head"]["w"] + p["head"]["b"]
+
+    def loss_fn(p, ids, y):
+        logits = fwd(p, ids)
+        logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        return -((logits - logz) * y).sum(-1).sum(-1).mean()
+
+    return _oracle_run_rates(params, loss_fn, x_all, y_all, batch,
+                             n_epochs, lr)
+
+
+def bench_llama():
+    """Config 9: the modern-LLM family — causal llama LM (RMSNorm + RoPE
+    + GQA 8q/2kv + SwiGLU) at seq 1024 next-token training through the
+    scanned one-dispatch tier, vs a same-run jax.grad oracle of the
+    identical model. seq 1024 engages the whole-plane single-kernel flash
+    regime (ops/attention.py round-5 dispatch) while the oracle's XLA
+    attention materializes [T, T] scores and the repeated GQA K/V."""
+    from tinynn_autograd_tpu.models import build_tiny_llama
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn import optimizer as opt
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    vocab, seq, dim, heads, kv_heads, depth = 256, 1024, 512, 8, 2, 2
+    batch, n_epochs, n_train = 4, 16, 64
+    rng = np.random.RandomState(0)
+    tx = rng.randint(0, vocab, (n_train, seq))
+    ty = np.eye(vocab, dtype=np.float32)[
+        np.roll(tx, -1, axis=1)]  # next-token targets
+
+    random_seed(0)
+    net = build_tiny_llama(vocab=vocab, dim=dim, heads=heads,
+                           kv_heads=kv_heads, depth=depth)
+    m = Model(net, SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
+    x_dev, y_dev = m.stage(tx, ty)
+    rates = _time_epochs(m, x_dev, y_dev, batch, n_epochs, n_train // batch)
+
+    oracle_rates = _llama_oracle_rates(net, tx, ty, batch, n_epochs,
+                                       lr=1e-3)
+    floor_us = 1e6 / statistics.median(oracle_rates)
+    emit("llama_seq1024_gqa_train_steps_per_sec", rates,
+         floor_us=round(floor_us, 1))
+    emit("llama_seq1024_gqa_jaxgrad_oracle_steps_per_sec", oracle_rates)
+
+
 def _rnn_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
     """EXTERNAL floor oracle for the recurrent config: a hand-written
     pure-JAX (jax.grad through lax.scan) training step of the SAME stacked
@@ -653,6 +763,10 @@ def main():
 
     # 8. recurrent family (scanned tier) + same-run jax.grad floor oracle
     bench_rnn()
+
+    # 9. llama family (GQA + RoPE + SwiGLU, flash single-kernel regime at
+    # seq 1024) + same-run jax.grad floor oracle
+    bench_llama()
 
     # 7. north-star time-to-accuracy (BASELINE.json): seconds/epochs to
     # 97.5% test acc, post-compile, real MNIST when data/mnist.pkl.gz
