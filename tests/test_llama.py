@@ -379,3 +379,75 @@ def test_top_p_tiny_equals_greedy_classic_family():
     nuc = np.asarray(generate(net, prompt, 4, temperature=1.0,
                               rng=jax.random.PRNGKey(1), top_p=1e-6))
     np.testing.assert_array_equal(greedy, nuc)
+
+
+# ----------------------------------------------- native GQA flash primitive
+
+
+def test_gqa_flash_primitive_matches_repeated_kv():
+    """flash_attention_ with K/V at Hkv < H heads (native GQA: one kernel
+    call per query group, shared K/V) must equal the same primitive on
+    manually repeated K/V — values and all three grads (dk/dv summed over
+    the group)."""
+    b, h, hkv, t, d = 2, 8, 2, 8, 4
+    group = h // hkv
+    q = _rand(b, h, t, d, seed=20, scale=0.5)
+    k = _rand(b, hkv, t, d, seed=21, scale=0.5)
+    v = _rand(b, hkv, t, d, seed=22, scale=0.5)
+    cot = _rand(b, h, t, d, seed=23, scale=0.1)
+    # repeat so query head j reads kv head j // group (the GQA contract)
+    krep = np.repeat(k, group, axis=1)
+    vrep = np.repeat(v, group, axis=1)
+
+    for causal in (False, True):
+        tq, tk, tv = (Tensor(q, requires_grad=True),
+                      Tensor(k, requires_grad=True),
+                      Tensor(v, requires_grad=True))
+        out = ops.flash_attention_(tq, tk, tv, causal=causal)
+        out.backward(Tensor(cot))
+
+        rq, rk, rv = (Tensor(q, requires_grad=True),
+                      Tensor(krep, requires_grad=True),
+                      Tensor(vrep, requires_grad=True))
+        ref = ops.flash_attention_(rq, rk, rv, causal=causal)
+        ref.backward(Tensor(cot))
+
+        np.testing.assert_allclose(np.asarray(out.data),
+                                   np.asarray(ref.data),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tq.grad), np.asarray(rq.grad),
+                                   rtol=1e-4, atol=1e-6)
+        want_dk = np.asarray(rk.grad).reshape(b, hkv, group, t, d).sum(2)
+        want_dv = np.asarray(rv.grad).reshape(b, hkv, group, t, d).sum(2)
+        np.testing.assert_allclose(np.asarray(tk.grad), want_dk,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tv.grad), want_dv,
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_gqa_flash_rejects_indivisible_heads():
+    q = Tensor(_rand(1, 6, 4, 4))
+    kv = Tensor(_rand(1, 4, 4, 4))
+    with pytest.raises(ValueError, match="divide"):
+        ops.flash_attention_(q, kv, kv)
+
+
+def test_gqa_flash_dropout_decorrelates_groups():
+    """With attention dropout on, each query group folds its index into
+    the kernel seed — groups must not share mask streams (a shared stream
+    would correlate the zeros across every group of a kv head)."""
+    import jax
+
+    b, h, hkv, t, d = 1, 4, 1, 16, 4
+    q = _rand(b, h, t, d, seed=30, scale=0.0)  # zero q -> uniform probs
+    k = _rand(b, hkv, t, d, seed=31, scale=0.0)
+    v = np.ones((b, hkv, t, d), np.float32)
+    out = ops.flash_attention_(
+        Tensor(q), Tensor(k), Tensor(v), dropout_rate=0.5,
+        dropout_rng=jax.random.PRNGKey(3))
+    # uniform probs + all-ones V: each output element is the kept-mass
+    # of its row's mask; identical group streams would make the head
+    # outputs within the kv group exactly equal
+    o = np.asarray(out.data).reshape(h, t, d)
+    assert not np.allclose(o[0], o[1])
+    assert not np.allclose(o[1], o[2])

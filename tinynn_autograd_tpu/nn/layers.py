@@ -488,10 +488,10 @@ class LlamaBlock(Layer):
         v = (xn @ p["wv"]).reshape((b, t, hkv, hd)).transpose((0, 2, 1, 3))
         q = ops.rope_(q, base=self.rope_base)
         k = ops.rope_(k, base=self.rope_base)
-        if hkv != h:
-            k = _repeat_heads(k, h // hkv)
-            v = _repeat_heads(v, h // hkv)
         if self.attn == "fused":
+            # GQA is native in the flash primitive: one kernel call per
+            # query group against the SHARED K/V — the repeated
+            # [B, H, T, hd] K/V never materializes in HBM
             attn_rate = (self.attn_dropout
                          if drop and self.attn_dropout > 0.0 else 0.0)
             ctx_h = ops.flash_attention_(
@@ -499,6 +499,9 @@ class LlamaBlock(Layer):
                 dropout_rate=attn_rate,
                 dropout_rng=keys[0] if attn_rate else None)
         else:
+            if hkv != h:
+                k = _repeat_heads(k, h // hkv)
+                v = _repeat_heads(v, h // hkv)
             scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
             mask = self._mask(t)
             if mask is not None:
