@@ -169,3 +169,84 @@ def test_cp_replicated_dropout_layer_trains():
     losses = [float(cp.train_step(x, y)) for _ in range(25)]
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0] * 0.8
+
+
+# -------------------------------------------------------------- LlamaBlock
+
+
+def _llama_cp_model(seed, opt, heads=8, kv_heads=4, depth=2):
+    from tinynn_autograd_tpu.models import build_tiny_llama
+
+    random_seed(seed)
+    net = build_tiny_llama(vocab=16, dim=32, heads=heads,
+                           kv_heads=kv_heads, depth=depth)
+    return Model(net, SoftmaxCrossEntropyLoss(), opt)
+
+
+def _llama_cp_data(n=16, seq_len=16):
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 16, (n, seq_len))
+    y = np.eye(16, dtype=np.float32)[(x + 1) % 16]
+    return x, y
+
+
+@pytest.mark.parametrize("mode", ["ring", "ring_exact", "ulysses"])
+def test_cp_llama_matches_single_device(mode):
+    """Llama under every CP mode: RoPE at global positions rides the ring
+    (rotations applied before the chunks circulate); GQA K/V stay at Hkv
+    heads end-to-end in blockwise ring mode (mha loops query groups per
+    hop, the reverse ring carries the unrepeated dK/dV). Causal LM —
+    must train identically to single-device."""
+    x, y = _llama_cp_data()
+    # ulysses needs kv_heads % mesh == 0 -> mesh 4, kv 4; ring modes too
+    cp = ContextParallel(_llama_cp_model(1, SGD(lr=0.1)),
+                         mesh=make_mesh(4, axis_name="ctx"), mode=mode)
+    ref = _llama_cp_model(1, SGD(lr=0.1))
+    for _ in range(3):
+        np.testing.assert_allclose(float(cp.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=5e-5, atol=1e-6)
+    for layer_cp, layer_ref in zip(cp.gather_params(), ref._params):
+        for k in layer_ref:
+            np.testing.assert_allclose(
+                layer_cp[k], np.asarray(layer_ref[k]),
+                rtol=3e-4, atol=1e-5)
+
+
+def test_cp_llama_mqa_ring():
+    """MQA (1 kv head) through the blockwise ring: the ring traffic is
+    1/H of the repeated form; parity must hold."""
+    x, y = _llama_cp_data()
+    cp = ContextParallel(_llama_cp_model(2, SGD(lr=0.1), heads=4,
+                                         kv_heads=1, depth=1),
+                         mesh=make_mesh(4, axis_name="ctx"))
+    ref = _llama_cp_model(2, SGD(lr=0.1), heads=4, kv_heads=1, depth=1)
+    for _ in range(3):
+        np.testing.assert_allclose(float(cp.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_cp_llama_ulysses_rejects_indivisible_kv():
+    x, y = _llama_cp_data()
+    cp = ContextParallel(_llama_cp_model(3, SGD(lr=0.1), heads=8,
+                                         kv_heads=2),
+                         mesh=make_mesh(4, axis_name="ctx"),
+                         mode="ulysses")
+    with pytest.raises(ValueError, match="kv heads"):
+        cp.train_step(x, y)
+
+
+def test_cp_llama_dropout_trains():
+    from tinynn_autograd_tpu.models import build_tiny_llama
+
+    random_seed(88)
+    net = build_tiny_llama(vocab=16, dim=32, heads=8, kv_heads=4,
+                           depth=1, dropout=0.1, attn_dropout=0.1)
+    cp = ContextParallel(Model(net, SoftmaxCrossEntropyLoss(),
+                               SGD(lr=0.1)),
+                         mesh=make_mesh(4, axis_name="ctx"))
+    x, y = _llama_cp_data()
+    losses = [float(cp.train_step(x, y)) for _ in range(6)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -902,6 +902,16 @@ def _fold(x):
     return x.reshape(b * h, t, d)
 
 
+def _group_seed(seed, gi):
+    """Decorrelate GQA group ``gi``'s in-kernel dropout stream (the hash
+    indexes heads within one call; two group calls would otherwise share
+    streams)."""
+    if seed is None:
+        return None
+    return (jnp.asarray(seed).astype(jnp.uint32)
+            + jnp.uint32((gi * 2654435761) % (2 ** 32)))
+
+
 def mha_fwd(q, k, v, causal=False, scale=None, impl=None,
             dropout_rate=0.0, dropout_seed=None):
     """softmax(Q K^T * scale [+ causal mask]) V. Q: [B, H, Tq, d];
@@ -909,11 +919,36 @@ def mha_fwd(q, k, v, causal=False, scale=None, impl=None,
     Tq == Tk). Returns (o [B,H,Tq,d], lse [B,H,Tq,1] f32) — lse is the
     per-row logsumexp of the scaled scores, consumed by mha_bwd.
 
+    GROUPED-QUERY ATTENTION: K/V may carry FEWER heads (Hkv | H; query
+    head j reads kv head j // (H/Hkv)) — the call then loops one kernel
+    launch per query group against the SHARED K/V, so the repeated
+    [B, H, T, d] K/V never materializes (a broadcast fed to a Pallas call
+    would be forced concrete in HBM). Callers that consume K/V multiple
+    ways (ring attention's hops) inherit this for free.
+
     ``dropout_rate``/``dropout_seed``: attention-probability dropout with
     an in-kernel counter-hash mask — no [T, T] mask tensor exists anywhere;
     mha_bwd replays the identical mask from the same (static rate, traced
     seed) pair. The seed is a uint32 scalar (python int or traced)."""
     b, h, t, d = q.shape
+    hkv = k.shape[1]
+    if hkv != h:
+        if h % hkv:
+            raise ValueError(
+                "GQA needs kv heads (%d) to divide query heads (%d)"
+                % (hkv, h))
+        group = h // hkv
+        qg = q.reshape(b, hkv, group, t, d)
+        os_, lses = [], []
+        for gi in range(group):
+            o_g, lse_g = mha_fwd(qg[:, :, gi], k, v, causal=causal,
+                                 scale=scale, impl=impl,
+                                 dropout_rate=dropout_rate,
+                                 dropout_seed=_group_seed(dropout_seed, gi))
+            os_.append(o_g)
+            lses.append(lse_g)
+        return (jnp.stack(os_, axis=2).reshape(b, h, t, d),
+                jnp.stack(lses, axis=2).reshape(b, h, t, 1))
     tk = k.shape[2]
     if causal and tk != t:
         raise ValueError("causal attention requires Tq == Tk, got %d vs %d"
@@ -941,8 +976,29 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None,
     """Hand-written VJP of mha_fwd (recompute scheme; see module docstring).
     Returns (dq, dk, dv) in the operands' shapes. Pass the SAME
     dropout_rate/dropout_seed as the forward — the keep mask is replayed
-    in-kernel from the hash, never stored."""
+    in-kernel from the hash, never stored. GQA (fewer K/V heads): loops
+    per query group like mha_fwd, ACCUMULATING dk/dv across groups —
+    exactly the reduction a repeated-KV unbroadcast would perform."""
     b, h, t, d = q.shape
+    hkv = k.shape[1]
+    if hkv != h:
+        group = h // hkv
+        qg = q.reshape(b, hkv, group, t, d)
+        og = o.reshape(b, hkv, group, t, d)
+        lseg = lse.reshape(b, hkv, group, t, 1)
+        dog = do.reshape(b, hkv, group, t, d)
+        dqs, dk_acc, dv_acc = [], None, None
+        for gi in range(group):
+            dq_g, dk_g, dv_g = mha_bwd(
+                qg[:, :, gi], k, v, og[:, :, gi], lseg[:, :, gi],
+                dog[:, :, gi], causal=causal, scale=scale, impl=impl,
+                dropout_rate=dropout_rate,
+                dropout_seed=_group_seed(dropout_seed, gi))
+            dqs.append(dq_g)
+            dk_acc = dk_g if dk_acc is None else dk_acc + dk_g
+            dv_acc = dv_g if dv_acc is None else dv_acc + dv_g
+        return (jnp.stack(dqs, axis=2).reshape(b, h, t, d),
+                dk_acc, dv_acc)
     tk = k.shape[2]
     if scale is None:
         scale = 1.0 / np.sqrt(d)

@@ -889,28 +889,18 @@ def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None,
     ``("pltpu_seed", int32[, ...])`` marker like ops.dropout_.
 
     GROUPED-QUERY ATTENTION (native): K/V may carry FEWER heads than Q
-    (Hkv dividing H; query head j reads kv head j // (H/Hkv)). The
-    primitive then runs one kernel call per query group against the
+    (Hkv dividing H; query head j reads kv head j // (H/Hkv)).
+    mha_fwd/mha_bwd then loop one kernel call per query group against the
     SHARED K/V — the repeated [B, H, T, d] K/V never materializes in HBM
     (a tape-level broadcast would be forced concrete by the Pallas call);
-    dK/dV accumulate across the group calls in the joint backward, and
-    each group's dropout stream is decorrelated by folding the group
-    index into the seed.
+    dK/dV accumulate across the group calls, and each group's dropout
+    stream is decorrelated by folding the group index into the seed.
     """
     from tinynn_autograd_tpu.ops import attention
 
     q, k, v = ts_q.data, ts_k.data, ts_v.data
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
-    n_q_heads, n_kv_heads = q.shape[1], k.shape[1]
-    if n_q_heads != n_kv_heads:
-        if n_q_heads % n_kv_heads:
-            raise ValueError(
-                "GQA needs kv heads (%d) to divide query heads (%d)"
-                % (n_kv_heads, n_q_heads))
-        return _gqa_flash_attention(
-            ts_q, ts_k, ts_v, causal=causal, scale=scale, impl=impl,
-            dropout_rate=dropout_rate, dropout_rng=dropout_rng)
     seed = _attn_dropout_seed(dropout_rate, dropout_rng)
     o, lse = attention.mha_fwd(q, k, v, causal=causal, scale=scale,
                                impl=impl, dropout_rate=dropout_rate,
@@ -958,79 +948,6 @@ def _attn_dropout_seed(dropout_rate, dropout_rng):
 
         dropout_rng = seeder.next_key()
     return jax.random.bits(dropout_rng, dtype=jnp.uint32)
-
-
-def _gqa_flash_attention(ts_q, ts_k, ts_v, causal, scale, impl,
-                         dropout_rate, dropout_rng):
-    """Grouped-query flash attention (see flash_attention_): Q [B, H, T,
-    d] against shared K/V [B, Hkv, T, d], Hkv | H. One kernel call per
-    query group — group gi pairs Q's heads [:, :, gi] (in the
-    [B, Hkv, group, T, d] view, i.e. query head j reads kv head
-    j // group) with the UNREPEATED K/V, so no [B, H, T, d] broadcast
-    ever reaches HBM. The joint backward accumulates dK/dV across the
-    group calls (the same reduction a tape-level repeat's unbroadcast
-    would do — without the materialized operand). Per-group dropout
-    streams decorrelate by folding the group index into the seed."""
-    from tinynn_autograd_tpu.ops import attention
-
-    q, k, v = ts_q.data, ts_k.data, ts_v.data
-    b, h, t, d = q.shape
-    hkv = k.shape[1]
-    group = h // hkv
-    seed = _attn_dropout_seed(dropout_rate, dropout_rng)
-
-    def seed_for(gi):
-        if seed is None:
-            return None
-        return seed + jnp.uint32((gi * 2654435761) % (2 ** 32))
-
-    qg = q.reshape(b, hkv, group, t, d)
-    outs, lses = [], []
-    for gi in range(group):
-        o_g, lse_g = attention.mha_fwd(
-            qg[:, :, gi], k, v, causal=causal, scale=scale, impl=impl,
-            dropout_rate=dropout_rate, dropout_seed=seed_for(gi))
-        outs.append(o_g)
-        lses.append(lse_g)
-    o = jnp.stack(outs, axis=2).reshape(b, h, t, d)
-
-    cache = []  # [grad_object, (dq, dk, dv)] — strong ref + identity compare
-
-    def memo(grad):
-        if not cache or cache[0] is not grad:
-            dg = grad.reshape(b, hkv, group, t, d)
-            dqs, dk_acc, dv_acc = [], None, None
-            for gi in range(group):
-                dq_g, dk_g, dv_g = attention.mha_bwd(
-                    qg[:, :, gi], k, v, outs[gi], lses[gi], dg[:, :, gi],
-                    causal=causal, scale=scale, impl=impl,
-                    dropout_rate=dropout_rate, dropout_seed=seed_for(gi))
-                dqs.append(dq_g)
-                dk_acc = dk_g if dk_acc is None else dk_acc + dk_g
-                dv_acc = dv_g if dv_acc is None else dv_acc + dv_g
-            dq = jnp.stack(dqs, axis=2).reshape(b, h, t, d)
-            cache[:] = [grad, (dq, dk_acc, dv_acc)]
-        return cache[1]
-
-    def gq(grad):
-        return memo(grad)[0]
-
-    def gk(grad):
-        return memo(grad)[1]
-
-    def gv(grad):
-        return memo(grad)[2]
-
-    requires_grad = (ts_q.requires_grad or ts_k.requires_grad
-                     or ts_v.requires_grad)
-    dependency = []
-    if ts_q.requires_grad:
-        dependency.append((ts_q, gq))
-    if ts_k.requires_grad:
-        dependency.append((ts_k, gk))
-    if ts_v.requires_grad:
-        dependency.append((ts_v, gv))
-    return ts_q.__class__(o, requires_grad, dependency)
 
 
 def concat_(tensors, axis=0):

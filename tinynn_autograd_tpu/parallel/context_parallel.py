@@ -47,7 +47,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import Tensor
-from tinynn_autograd_tpu.nn.layers import TransformerBlock
+from tinynn_autograd_tpu.nn.layers import (
+    LlamaBlock, TransformerBlock, _repeat_heads,
+)
 from tinynn_autograd_tpu.parallel._common import (
     adopt_pending_opt, bind_traced_layer, rebind_concrete, shard_opt_state,
     wrapper_load, wrapper_save,
@@ -93,11 +95,16 @@ class ContextParallel:
     def _validate(self):
         for layer in self.net.layers:
             if (self.mode == "ulysses"
-                    and isinstance(layer, TransformerBlock)
+                    and isinstance(layer, (TransformerBlock, LlamaBlock))
                     and layer.num_heads % self.n_devices):
                 raise ValueError(
                     "ulysses needs heads (%d) divisible by the mesh (%d)"
                     % (layer.num_heads, self.n_devices))
+            if (self.mode == "ulysses" and isinstance(layer, LlamaBlock)
+                    and layer.num_kv_heads % self.n_devices):
+                raise ValueError(
+                    "ulysses GQA needs kv heads (%d) divisible by the "
+                    "mesh (%d)" % (layer.num_kv_heads, self.n_devices))
 
     # ------------------------------------------------------------- forward
 
@@ -114,40 +121,74 @@ class ContextParallel:
 
     def _residual_mlp(self, layer, p, h, ctx_flat, keys):
         """Shared tail: ctx projection (+ residual dropout), residual add,
-        MLP (+ dropout) — identical for every attention mode."""
+        MLP (+ dropout) — identical for every attention mode. Family-
+        aware: LlamaBlocks take the RMSNorm + SwiGLU (bias-free) tail."""
         attn_out = ctx_flat @ p["wo"]
         if keys is not None and layer.dropout > 0.0:
             attn_out = ops.dropout_(attn_out, layer.dropout, keys[1])
         x2 = h + attn_out
-        yn = ops.layer_norm_(x2, p["g2"], p["be2"], eps=layer.eps)
-        y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+        if isinstance(layer, LlamaBlock):
+            yn = ops.rms_norm_(x2, p["g2"], eps=layer.eps)
+            y = (ops.silu_(yn @ p["w1"]) * (yn @ p["w3"])) @ p["w2"]
+        else:
+            yn = ops.layer_norm_(x2, p["g2"], p["be2"], eps=layer.eps)
+            y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
         if keys is not None and layer.dropout > 0.0:
             y = ops.dropout_(y, layer.dropout, keys[2])
         return x2 + y
 
+    def _block_qkv(self, layer, p, h):
+        """Family-aware projections on the local sequence chunk
+        [B, Tl, D] -> q [B, H, Tl, hd] and k/v at the layer's KV head
+        count. LlamaBlocks: RMSNorm + RoPE at GLOBAL positions
+        (idx * Tl + local row) — each row is rotated by its absolute
+        position BEFORE the chunks circulate, so the rotations ride along
+        with the K chunks and any consumer sees correctly-phased keys."""
+        b, tl, _ = h.shape
+        hd = layer.head_dim
+
+        def split_heads(x, heads):
+            return x.reshape((b, tl, heads, hd)).transpose((0, 2, 1, 3))
+
+        if isinstance(layer, LlamaBlock):
+            pos = (jax.lax.axis_index(self.axis_name) * tl
+                   + jnp.arange(tl, dtype=jnp.int32))
+            xn = ops.rms_norm_(h, p["g1"], eps=layer.eps)
+            q = ops.rope_(split_heads(xn @ p["wq"], layer.num_heads),
+                          base=layer.rope_base, positions=pos)
+            k = ops.rope_(split_heads(xn @ p["wk"], layer.num_kv_heads),
+                          base=layer.rope_base, positions=pos)
+            v = split_heads(xn @ p["wv"], layer.num_kv_heads)
+            return xn, q, k, v
+        xn = ops.layer_norm_(h, p["g1"], p["be1"], eps=layer.eps)
+        q = split_heads(xn @ p["wq"], layer.num_heads)
+        k = split_heads(xn @ p["wk"], layer.num_heads)
+        v = split_heads(xn @ p["wv"], layer.num_heads)
+        return xn, q, k, v
+
     def _ring_block_forward(self, layer, params, h, loc_rng=None, li=0):
-        """One TransformerBlock on the sequence shard [B, T/n, D] with K/V
-        rotating around the ring; replicated params as traced leaves.
+        """One TransformerBlock OR LlamaBlock on the sequence shard
+        [B, T/n, D] with K/V rotating around the ring; replicated params
+        as traced leaves.
 
         mode="ring": BLOCKWISE — the whole ring is the one
         ops.ring_flash_attention_ tape primitive (flash kernels per hop,
-        running logsumexp combine; no [T/n, T] scores anywhere).
-        mode="ring_exact": the original concatenated-scores control path.
+        running logsumexp combine; no [T/n, T] scores anywhere). GQA
+        LlamaBlocks keep K/V at Hkv heads END-TO-END here: each hop's
+        mha_fwd loops the query groups against the shared chunk and the
+        reverse ring carries the UNREPEATED dK/dV — group-x less ring
+        traffic than a repeated-KV formulation.
+        mode="ring_exact": the original concatenated-scores control path
+        (GQA repeats K/V at the tape level first).
         """
         axis = self.axis_name
         n = self.n_devices
         p = {k: Tensor(v, requires_grad=True) for k, v in params.items()}
         b, tl, d = h.shape
-        nh, hd = layer.num_heads, layer.head_dim
+        hd = layer.head_dim
         keys = self._block_drop_keys(layer, loc_rng, li)
 
-        def split_heads(x):  # [B,Tl,D] -> [B,H,Tl,hd]
-            return x.reshape((b, tl, nh, hd)).transpose((0, 2, 1, 3))
-
-        xn = ops.layer_norm_(h, p["g1"], p["be1"], eps=layer.eps)
-        q = split_heads(xn @ p["wq"])
-        kj = split_heads(xn @ p["wk"])
-        vj = split_heads(xn @ p["wv"])
+        _, q, kj, vj = self._block_qkv(layer, p, h)
 
         if self.mode == "ring":
             attn_rate = (layer.attn_dropout
@@ -160,6 +201,10 @@ class ContextParallel:
                 scale=1.0 / np.sqrt(hd),
                 dropout_rate=attn_rate, dropout_seed=seed)
         else:  # ring_exact: concat scores, one softmax (control path)
+            if kj.shape[1] != q.shape[1]:   # GQA: materialize per-chunk
+                group = q.shape[1] // kj.shape[1]
+                kj = _repeat_heads(kj, group)
+                vj = _repeat_heads(vj, group)
             ring = [(i, (i + 1) % n) for i in range(n)]
             # Softmax is column-order invariant, so ring-arrival order is
             # fine as long as V blocks align with their score blocks.
@@ -205,19 +250,24 @@ class ContextParallel:
         n = self.n_devices
         p = {k: Tensor(v, requires_grad=True) for k, v in params.items()}
         b, tl, d = h.shape
-        nh, hd = layer.num_heads, layer.head_dim
+        hd = layer.head_dim
         keys = self._block_drop_keys(layer, loc_rng, li)
-
-        def split_heads(x):  # [B,Tl,D] -> [B,H,Tl,hd]
-            return x.reshape((b, tl, nh, hd)).transpose((0, 2, 1, 3))
 
         def to_head_sharded(x):  # [B,H,Tl,hd] -> [B,H/n,T,hd]
             return ops.all_to_all_(x, axis, split_axis=1, concat_axis=2)
 
-        xn = ops.layer_norm_(h, p["g1"], p["be1"], eps=layer.eps)
-        q = to_head_sharded(split_heads(xn @ p["wq"]))
-        k = to_head_sharded(split_heads(xn @ p["wk"]))
-        v = to_head_sharded(split_heads(xn @ p["wv"]))
+        # family-aware projections; llama's RoPE is applied BEFORE the
+        # a2a (local rows at their global positions), so the re-shard
+        # moves already-phased heads
+        _, q, k, v = self._block_qkv(layer, p, h)
+        q, k, v = to_head_sharded(q), to_head_sharded(k), to_head_sharded(v)
+        if k.shape[1] != q.shape[1]:
+            # GQA: the contiguous-chunk a2a keeps each query head's kv
+            # head on the same device (heads [dev*H/n..) pair with kv
+            # heads [dev*Hkv/n..)); repeat locally for the score matmuls
+            group = q.shape[1] // k.shape[1]
+            k = _repeat_heads(k, group)
+            v = _repeat_heads(v, group)
         scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
         # after the a2a the sequence axis is in GLOBAL order, so the
         # ordinary full-length causal mask applies directly
@@ -242,7 +292,7 @@ class ContextParallel:
         tensors = []
         seq_sharded = False
         for li, layer in enumerate(self.net.layers):
-            if isinstance(layer, TransformerBlock):
+            if isinstance(layer, (TransformerBlock, LlamaBlock)):
                 if not seq_sharded:
                     if h.shape[1] % self.n_devices:
                         raise ValueError(
@@ -281,7 +331,7 @@ class ContextParallel:
         optimizer = self.model.optimizer
         axis = self.axis_name
         block_idx = {li for li, l in enumerate(self.net.layers)
-                     if isinstance(l, TransformerBlock)}
+                     if isinstance(l, (TransformerBlock, LlamaBlock))}
         stochastic = any(hasattr(l, "set_rng") for l in self.net.layers)
         base_key = self._base_key
 
