@@ -451,3 +451,13 @@ def test_gqa_flash_dropout_decorrelates_groups():
     o = np.asarray(out.data).reshape(h, t, d)
     assert not np.allclose(o[0], o[1])
     assert not np.allclose(o[1], o[2])
+
+
+def test_filter_logits_top_p_zero_keeps_argmax():
+    """Regression (round-5 review): top_p <= 0 must keep the max-prob
+    token instead of masking everything (which silently degrades to
+    uniform-random sampling)."""
+    logits = jnp.asarray([[2.0, 1.0, 0.5, -1.0]])
+    out = np.asarray(_filter_logits(logits, top_k=None, top_p=0.0))
+    assert np.isfinite(out[0, 0])
+    assert (out[0, 1:] < -1e29).all()

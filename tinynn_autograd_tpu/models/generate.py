@@ -261,6 +261,9 @@ def _filter_logits(logits, top_k, top_p):
         srt = jnp.sort(logits, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(srt, axis=-1)
         exceeds = jnp.cumsum(probs, axis=-1) - probs >= top_p
+        # the max-prob token always survives (top_p <= 0 would otherwise
+        # mask every position and degrade to uniform sampling)
+        exceeds = exceeds.at[..., 0].set(False)
         min_kept = jnp.min(jnp.where(exceeds, jnp.inf, srt), axis=-1,
                            keepdims=True)
         logits = jnp.where(logits < min_kept, _NEG_INF, logits)
@@ -297,8 +300,6 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
             _extract_llama(net)
         t_max = t0 + n_new
         group = h // hkv
-        cache_heads = hkv
-        cache_hd = hd
     else:
         emb, pos, blocks, head, heads, eps = _extract(net)
         t_max = pos.shape[1]
@@ -306,9 +307,6 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
             raise ValueError(
                 "prompt (%d) + n_new (%d) exceeds the positional-embedding "
                 "length (%d)" % (t0, n_new, t_max))
-        d = emb.shape[1]
-        cache_heads = heads
-        cache_hd = d // heads
     n_blocks = len(blocks)
 
     def token_logits(tok, t, caches):

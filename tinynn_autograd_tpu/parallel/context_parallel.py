@@ -139,8 +139,8 @@ class ContextParallel:
 
     def _block_qkv(self, layer, p, h):
         """Family-aware projections on the local sequence chunk
-        [B, Tl, D] -> q [B, H, Tl, hd] and k/v at the layer's KV head
-        count. LlamaBlocks: RMSNorm + RoPE at GLOBAL positions
+        [B, Tl, D] -> (q [B, H, Tl, hd], k, v) with k/v at the layer's KV
+        head count. LlamaBlocks: RMSNorm + RoPE at GLOBAL positions
         (idx * Tl + local row) — each row is rotated by its absolute
         position BEFORE the chunks circulate, so the rotations ride along
         with the K chunks and any consumer sees correctly-phased keys."""
@@ -159,12 +159,12 @@ class ContextParallel:
             k = ops.rope_(split_heads(xn @ p["wk"], layer.num_kv_heads),
                           base=layer.rope_base, positions=pos)
             v = split_heads(xn @ p["wv"], layer.num_kv_heads)
-            return xn, q, k, v
+            return q, k, v
         xn = ops.layer_norm_(h, p["g1"], p["be1"], eps=layer.eps)
         q = split_heads(xn @ p["wq"], layer.num_heads)
         k = split_heads(xn @ p["wk"], layer.num_heads)
         v = split_heads(xn @ p["wv"], layer.num_heads)
-        return xn, q, k, v
+        return q, k, v
 
     def _ring_block_forward(self, layer, params, h, loc_rng=None, li=0):
         """One TransformerBlock OR LlamaBlock on the sequence shard
@@ -188,7 +188,7 @@ class ContextParallel:
         hd = layer.head_dim
         keys = self._block_drop_keys(layer, loc_rng, li)
 
-        _, q, kj, vj = self._block_qkv(layer, p, h)
+        q, kj, vj = self._block_qkv(layer, p, h)
 
         if self.mode == "ring":
             attn_rate = (layer.attn_dropout
@@ -259,7 +259,7 @@ class ContextParallel:
         # family-aware projections; llama's RoPE is applied BEFORE the
         # a2a (local rows at their global positions), so the re-shard
         # moves already-phased heads
-        _, q, k, v = self._block_qkv(layer, p, h)
+        q, k, v = self._block_qkv(layer, p, h)
         q, k, v = to_head_sharded(q), to_head_sharded(k), to_head_sharded(v)
         if k.shape[1] != q.shape[1]:
             # GQA: the contiguous-chunk a2a keeps each query head's kv
