@@ -461,3 +461,42 @@ def test_filter_logits_top_p_zero_keeps_argmax():
     out = np.asarray(_filter_logits(logits, top_k=None, top_p=0.0))
     assert np.isfinite(out[0, 0])
     assert (out[0, 1:] < -1e29).all()
+
+
+def test_llama_one_dispatch_epochs_and_remat():
+    """Tier routing: the llama net trains through Model.train_epochs
+    (scanned one-dispatch tier — megakernel/streaming ineligible) and the
+    remat-built twin matches it step-for-step (Remat replays the block
+    exactly; same init seeds via the reset global stream)."""
+    vocab, seq = 8, 10
+    rng = np.random.RandomState(0)
+    x = ((rng.randint(0, vocab, 32)[:, None] + np.arange(seq)[None, :])
+         % vocab)
+    y = np.eye(vocab, dtype=np.float32)[(x + 1) % vocab]
+
+    losses = []
+    for remat in (False, True):
+        random_seed(71)
+        net = build_tiny_llama(vocab=vocab, dim=16, heads=4, kv_heads=2,
+                               depth=2, remat=remat)
+        model = Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-2))
+        xd, yd = model.stage(x, y)
+        out = np.asarray(model.train_epochs(xd, yd, n_epochs=3,
+                                            batch_size=8))
+        assert np.isfinite(out).all()
+        assert out[-1, -1] < out[0, 0]
+        losses.append(out)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5, atol=1e-6)
+
+
+def test_llama_remat_generate_parity():
+    """generate() unwraps Remat for llama nets too."""
+    ids = np.random.RandomState(3).randint(0, 9, (2, 4))
+    outs = []
+    for remat in (False, True):
+        random_seed(72)
+        net = build_tiny_llama(vocab=9, dim=16, heads=4, kv_heads=1,
+                               depth=2, remat=remat)
+        net.init((2, 8))
+        outs.append(np.asarray(generate(net, ids, 5)))
+    np.testing.assert_array_equal(outs[0], outs[1])
