@@ -500,3 +500,99 @@ def test_llama_remat_generate_parity():
         net.init((2, 8))
         outs.append(np.asarray(generate(net, ids, 5)))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+# --------------------------------------------------------------- beam search
+
+
+def _seq_logprob(net, prompt, continuation, pad_to=None):
+    """Total log-prob of ``continuation`` after ``prompt`` via full
+    forwards (the external scoring oracle for beam search). ``pad_to``:
+    fixed input length for nets with a positional table (the zero-padded
+    tail is causally invisible to the scored position)."""
+    ids = np.asarray(prompt, np.int64).tolist()
+    total = 0.0
+    for tok in continuation:
+        t = len(ids)
+        full = ids + [0] * ((pad_to or t) - t)
+        logits = np.asarray(
+            net.forward(Tensor(np.asarray([full], np.int64))).data)[0, t - 1]
+        logz = np.log(np.exp(logits - logits.max()).sum()) + logits.max()
+        total += float(logits[tok] - logz)
+        ids.append(int(tok))
+    return total
+
+
+@pytest.mark.parametrize("family", ["llama", "classic"])
+def test_beam_exhaustive_finds_global_argmax(family):
+    """With beam_width == vocab and n_new == 2 the search is EXHAUSTIVE
+    (all V first tokens kept, joint top over V*V continuations) — it must
+    return the brute-force argmax sequence in both families."""
+    from itertools import product
+
+    from tinynn_autograd_tpu.models import build_tiny_lm, generate_beam
+
+    vocab = 5
+    random_seed(91)
+    if family == "llama":
+        net = build_tiny_llama(vocab=vocab, dim=16, heads=4, kv_heads=2,
+                               depth=1)
+        net.init((1, 4))
+    else:
+        net = build_tiny_lm(vocab=vocab, seq_len=6, dim=16, heads=4,
+                            depth=1)
+        net.init((1, 6))
+    prompt = np.array([[2, 0]], np.int64)
+    out = np.asarray(generate_beam(net, prompt, n_new=2,
+                                   beam_width=vocab))
+    want, best = None, -np.inf
+    for cont in product(range(vocab), repeat=2):
+        s = _seq_logprob(net, prompt[0], cont,
+                         pad_to=6 if family == "classic" else None)
+        if s > best:
+            best, want = s, cont
+    np.testing.assert_array_equal(out[0, 2:], np.asarray(want))
+
+
+def test_beam_width_one_equals_greedy():
+    from tinynn_autograd_tpu.models import generate_beam
+
+    random_seed(92)
+    net = build_tiny_llama(vocab=9, dim=16, heads=4, kv_heads=1, depth=2)
+    net.init((2, 6))
+    prompt = np.array([[1, 2, 3], [4, 5, 6]], np.int64)
+    greedy = np.asarray(generate(net, prompt, 5))
+    beam1 = np.asarray(generate_beam(net, prompt, 5, beam_width=1))
+    np.testing.assert_array_equal(greedy, beam1)
+
+
+def test_beam_guards():
+    from tinynn_autograd_tpu.models import generate_beam
+
+    random_seed(93)
+    net = build_tiny_llama(vocab=5, dim=16, heads=4, depth=1)
+    net.init((1, 4))
+    with pytest.raises(ValueError, match="beam_width"):
+        generate_beam(net, np.zeros((1, 2), np.int64), 2, beam_width=0)
+    with pytest.raises(ValueError, match="vocab"):
+        generate_beam(net, np.zeros((1, 2), np.int64), 2, beam_width=6)
+
+
+def test_beam_follows_trained_grammar():
+    vocab, seq = 8, 10
+    random_seed(94)
+    net = build_tiny_llama(vocab=vocab, dim=32, heads=4, kv_heads=2,
+                           depth=1)
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-2))
+    rng = np.random.RandomState(0)
+    starts = rng.randint(0, vocab, 64)
+    x = (starts[:, None] + np.arange(seq)[None, :]) % vocab
+    y = np.eye(vocab, dtype=np.float32)[(x + 1) % vocab]
+    for _ in range(80):
+        model.train_step(x, y)
+    from tinynn_autograd_tpu.models import generate_beam
+
+    prompt = np.array([[3, 4, 5], [0, 1, 2]], np.int64)
+    out = np.asarray(generate_beam(net, prompt, 4, beam_width=3))
+    want = np.array([[3, 4, 5, 6, 7, 0, 1], [0, 1, 2, 3, 4, 5, 6]])
+    np.testing.assert_array_equal(out, want)

@@ -361,3 +361,117 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
 
     toks = run(prompt_ids, rng)
     return jnp.concatenate([prompt_ids, toks], axis=1)
+
+
+def generate_beam(net, prompt_ids, n_new, beam_width=4):
+    """Fixed-length beam-search decode: returns int32 [B, T0 + n_new] —
+    for each prompt row, the continuation with the highest total
+    log-probability among ``beam_width`` beams.
+
+    Both LM families (classic and llama) are supported, with the same
+    batched prefill and KV caches as generate(); the beams share one
+    cache tensor tiled to [B*W, ...] and REORDERED by parent beam at
+    every step (a gather on the batch axis — the standard cache-reorder
+    scheme). The whole search (prefill + n_new steps) is one jitted scan,
+    i.e. one device dispatch. No EOS handling: sequences are scored at
+    the full fixed length (toy-vocab serving; an EOS protocol would
+    freeze finished beams' scores).
+    """
+    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
+    b, t0 = prompt_ids.shape
+    w = int(beam_width)
+    if w < 1:
+        raise ValueError("beam_width must be >= 1, got %d" % w)
+    n_vocab = None
+    for lyr in net.layers:
+        if isinstance(lyr, Dense):
+            n_vocab = lyr.shapes["w"][1]
+    if n_vocab is not None and w > n_vocab:
+        raise ValueError("beam_width %d exceeds the vocab size %d"
+                         % (w, n_vocab))
+
+    is_llama = any(isinstance(getattr(lyr, "inner", lyr), LlamaBlock)
+                   for lyr in net.layers)
+    if is_llama:
+        emb, blocks, normg, head, (h, hkv, hd, eps, base) = \
+            _extract_llama(net)
+        t_max = t0 + n_new
+        group = h // hkv
+    else:
+        emb, pos, blocks, head, heads, eps = _extract(net)
+        t_max = pos.shape[1]
+        if t0 + n_new > t_max:
+            raise ValueError(
+                "prompt (%d) + n_new (%d) exceeds the positional-embedding "
+                "length (%d)" % (t0, n_new, t_max))
+    n_blocks = len(blocks)
+
+    def token_logits(tok, t, caches):
+        """tok [B*W] at position t through all blocks (beam-tiled batch)."""
+        new_caches = []
+        if is_llama:
+            x = emb[tok]
+            for l in range(n_blocks):
+                ck, cv = caches[l]
+                x, ck, cv = _llama_block_step(
+                    blocks[l], x, ck, cv, t, hkv, group, hd, eps, base)
+                new_caches.append((ck, cv))
+            return _rms(x, normg, eps) @ head["w"] + head["b"], new_caches
+        x = emb[tok] + pos[0, t]
+        for l in range(n_blocks):
+            ck, cv = caches[l]
+            x, ck, cv = _block_step(blocks[l], x, ck, cv, t, heads, eps,
+                                    t_max)
+            new_caches.append((ck, cv))
+        return x @ head["w"] + head["b"], new_caches
+
+    @jax.jit
+    def run(prompt):
+        if is_llama:
+            logits, caches = _prefill_llama(
+                blocks, emb, normg, head, hkv, group, hd, eps, base,
+                prompt, t_max)
+        else:
+            logits, caches = _prefill_classic(
+                blocks, emb, pos, head, heads, eps, prompt, t_max)
+        vocab = logits.shape[-1]
+
+        # seed the beams from the prompt's next-token distribution: the
+        # top-W first tokens per row; every beam shares the prompt cache
+        logp0 = jax.nn.log_softmax(logits, axis=-1)        # [B, V]
+        scores, tok0 = jax.lax.top_k(logp0, w)             # [B, W]
+        caches = [(jnp.repeat(ck, w, axis=0), jnp.repeat(cv, w, axis=0))
+                  for ck, cv in caches]                    # [B*W, ...]
+        hist0 = jnp.zeros((b, w, n_new), jnp.int32)
+        hist0 = hist0.at[:, :, 0].set(tok0)
+
+        def step(carry, i):
+            # feed each beam's token at position t0+i, extend by the
+            # joint top-W over (parent beam, next token), reorder the
+            # histories and caches by parent
+            caches, scores, hist, last = carry
+            logits, caches = token_logits(last.reshape(b * w), t0 + i,
+                                          caches)
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, w, vocab)
+            total = scores[:, :, None] + logp              # [B, W, V]
+            scores, idx = jax.lax.top_k(total.reshape(b, w * vocab), w)
+            parent = idx // vocab                          # [B, W]
+            tok = (idx % vocab).astype(jnp.int32)
+            hist = jnp.take_along_axis(hist, parent[:, :, None], axis=1)
+            hist = hist.at[:, :, i + 1].set(tok)
+            flat_parent = (parent
+                           + jnp.arange(b)[:, None] * w).reshape(-1)
+            caches = [(ck[flat_parent], cv[flat_parent])
+                      for ck, cv in caches]
+            return (caches, scores, hist, tok), ()
+
+        hist = hist0
+        if n_new > 1:
+            (caches, scores, hist, _), _ = jax.lax.scan(
+                step, (caches, scores, hist0, tok0), jnp.arange(n_new - 1))
+        best = jnp.argmax(scores, axis=-1)                 # [B]
+        return jnp.take_along_axis(
+            hist, best[:, None, None], axis=1)[:, 0], scores
+
+    toks, _scores = run(prompt_ids)
+    return jnp.concatenate([prompt_ids, toks], axis=1)
