@@ -596,3 +596,27 @@ def test_beam_follows_trained_grammar():
     out = np.asarray(generate_beam(net, prompt, 4, beam_width=3))
     want = np.array([[3, 4, 5, 6, 7, 0, 1], [0, 1, 2, 3, 4, 5, 6]])
     np.testing.assert_array_equal(out, want)
+
+
+def test_generate_eos_freezes_finished_rows():
+    """After a row emits eos_id, every later position repeats it; rows
+    that never emit it are unaffected (parity with the eos-free call)."""
+    vocab, seq = 8, 10
+    random_seed(95)
+    net = build_tiny_llama(vocab=vocab, dim=32, heads=4, kv_heads=2,
+                           depth=1)
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-2))
+    rng = np.random.RandomState(0)
+    starts = rng.randint(0, vocab, 64)
+    x = (starts[:, None] + np.arange(seq)[None, :]) % vocab
+    y = np.eye(vocab, dtype=np.float32)[(x + 1) % vocab]
+    for _ in range(80):
+        model.train_step(x, y)
+    # grammar: next = cur + 1 mod 8. Row 0 starts at 3 -> emits 4,5,6...
+    prompt = np.array([[2, 3], [5, 6]], np.int64)
+    out = np.asarray(generate(net, prompt, 5, eos_id=5))
+    # row 0 emits 4 then 5 (eos) -> frozen at 5
+    np.testing.assert_array_equal(out[0], [2, 3, 4, 5, 5, 5, 5])
+    # row 1 emits 7, 0, 1, 2, 3 — never 5 — identical to the no-eos call
+    plain = np.asarray(generate(net, prompt, 5))
+    np.testing.assert_array_equal(out[1], plain[1])

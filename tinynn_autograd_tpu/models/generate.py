@@ -271,7 +271,7 @@ def _filter_logits(logits, top_k, top_p):
 
 
 def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
-             top_k=None, top_p=None):
+             top_k=None, top_p=None, eos_id=None):
     """Decode ``n_new`` tokens after ``prompt_ids`` [B, T0] (int ids).
 
     Supports both causal-LM families: build_tiny_lm nets (learned
@@ -287,6 +287,11 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
     generated continuation. For build_tiny_lm nets the position space is
     bounded by the PositionalEmbedding length; llama nets have no table
     bound (positions live in the rotary phases).
+
+    ``eos_id``: once a row emits this token every later position in that
+    row repeats it (the standard early-stop protocol under static
+    shapes — the scan length stays n_new; finished rows' steps still run
+    but their draws are frozen to eos).
     """
     prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
     b, t0 = prompt_ids.shape
@@ -348,15 +353,19 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
                 blocks, emb, pos, head, heads, eps, prompt, t_max)
 
         def decode_body(carry, i):
-            caches, logits, key = carry
+            caches, logits, key, done = carry
             key, sub = jax.random.split(key)
             tok = pick(logits, sub)
+            if eos_id is not None:
+                tok = jnp.where(done, jnp.int32(eos_id), tok)
+                done = done | (tok == jnp.int32(eos_id))
             new_logits, caches = token_logits(tok, t0 + i, caches)
-            return (caches, new_logits, key), tok
+            return (caches, new_logits, key, done), tok
 
         key = key if key is not None else jax.random.PRNGKey(0)
-        (_, _, _), toks = jax.lax.scan(
-            decode_body, (caches, logits, key), jnp.arange(n_new))
+        done0 = jnp.zeros((b,), bool)
+        (_, _, _, _), toks = jax.lax.scan(
+            decode_body, (caches, logits, key, done0), jnp.arange(n_new))
         return toks.T  # [B, n_new]
 
     toks = run(prompt_ids, rng)
