@@ -620,3 +620,27 @@ def test_generate_eos_freezes_finished_rows():
     # row 1 emits 7, 0, 1, 2, 3 — never 5 — identical to the no-eos call
     plain = np.asarray(generate(net, prompt, 5))
     np.testing.assert_array_equal(out[1], plain[1])
+
+
+def test_beam_eos_freezes_finished_beams():
+    """A beam that emits eos_id freezes: its score stops accumulating and
+    its tail fills with eos; the returned best row for a grammar that
+    hits eos immediately is all-eos after the hit."""
+    from tinynn_autograd_tpu.models import generate_beam
+
+    vocab, seq = 8, 10
+    random_seed(96)
+    net = build_tiny_llama(vocab=vocab, dim=32, heads=4, kv_heads=2,
+                           depth=1)
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(1e-2))
+    rng = np.random.RandomState(0)
+    starts = rng.randint(0, vocab, 64)
+    x = (starts[:, None] + np.arange(seq)[None, :]) % vocab
+    y = np.eye(vocab, dtype=np.float32)[(x + 1) % vocab]
+    for _ in range(80):
+        model.train_step(x, y)
+    prompt = np.array([[2, 3], [5, 6]], np.int64)
+    out = np.asarray(generate_beam(net, prompt, 5, beam_width=3, eos_id=5))
+    np.testing.assert_array_equal(out[0], [2, 3, 4, 5, 5, 5, 5])
+    plain = np.asarray(generate_beam(net, prompt, 5, beam_width=3))
+    np.testing.assert_array_equal(out[1], plain[1])

@@ -372,7 +372,7 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
     return jnp.concatenate([prompt_ids, toks], axis=1)
 
 
-def generate_beam(net, prompt_ids, n_new, beam_width=4):
+def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
     """Fixed-length beam-search decode: returns int32 [B, T0 + n_new] —
     for each prompt row, the continuation with the highest total
     log-probability among ``beam_width`` beams.
@@ -382,9 +382,12 @@ def generate_beam(net, prompt_ids, n_new, beam_width=4):
     cache tensor tiled to [B*W, ...] and REORDERED by parent beam at
     every step (a gather on the batch axis — the standard cache-reorder
     scheme). The whole search (prefill + n_new steps) is one jitted scan,
-    i.e. one device dispatch. No EOS handling: sequences are scored at
-    the full fixed length (toy-vocab serving; an EOS protocol would
-    freeze finished beams' scores).
+    i.e. one device dispatch.
+
+    ``eos_id``: a beam that emits this token is FINISHED — its score
+    freezes (later steps admit only an eos continuation at log-prob 0)
+    and its tail fills with eos; unfinished beams keep competing. Without
+    it, sequences are scored at the full fixed length.
     """
     prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
     b, t0 = prompt_ids.shape
@@ -453,15 +456,23 @@ def generate_beam(net, prompt_ids, n_new, beam_width=4):
                   for ck, cv in caches]                    # [B*W, ...]
         hist0 = jnp.zeros((b, w, n_new), jnp.int32)
         hist0 = hist0.at[:, :, 0].set(tok0)
+        done0 = (tok0 == jnp.int32(eos_id) if eos_id is not None
+                 else jnp.zeros((b, w), bool))
 
         def step(carry, i):
             # feed each beam's token at position t0+i, extend by the
             # joint top-W over (parent beam, next token), reorder the
             # histories and caches by parent
-            caches, scores, hist, last = carry
+            caches, scores, hist, last, done = carry
             logits, caches = token_logits(last.reshape(b * w), t0 + i,
                                           caches)
             logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, w, vocab)
+            if eos_id is not None:
+                # a finished beam admits ONLY eos, at log-prob 0: its
+                # score is frozen and it keeps its rank while open beams
+                # keep accumulating
+                eos_row = jnp.full((vocab,), _NEG_INF).at[eos_id].set(0.0)
+                logp = jnp.where(done[:, :, None], eos_row, logp)
             total = scores[:, :, None] + logp              # [B, W, V]
             scores, idx = jax.lax.top_k(total.reshape(b, w * vocab), w)
             parent = idx // vocab                          # [B, W]
@@ -472,12 +483,16 @@ def generate_beam(net, prompt_ids, n_new, beam_width=4):
                            + jnp.arange(b)[:, None] * w).reshape(-1)
             caches = [(ck[flat_parent], cv[flat_parent])
                       for ck, cv in caches]
-            return (caches, scores, hist, tok), ()
+            if eos_id is not None:
+                done = jnp.take_along_axis(done, parent, axis=1)
+                done = done | (tok == jnp.int32(eos_id))
+            return (caches, scores, hist, tok, done), ()
 
         hist = hist0
         if n_new > 1:
-            (caches, scores, hist, _), _ = jax.lax.scan(
-                step, (caches, scores, hist0, tok0), jnp.arange(n_new - 1))
+            (caches, scores, hist, _, _), _ = jax.lax.scan(
+                step, (caches, scores, hist0, tok0, done0),
+                jnp.arange(n_new - 1))
         best = jnp.argmax(scores, axis=-1)                 # [B]
         return jnp.take_along_axis(
             hist, best[:, None, None], axis=1)[:, 0], scores
