@@ -50,7 +50,7 @@ def _extract(net):
     Embedding, PositionalEmbedding, TransformerBlock*, Dense head."""
     emb = pos = head = None
     blocks = []
-    heads = eps = None
+    heads = eps = window = None
     for layer in net.layers:
         if isinstance(layer, Remat):
             # training-only wrapper; decode reads the inner layer
@@ -65,6 +65,7 @@ def _extract(net):
                     "generate() needs causal TransformerBlocks (an acausal "
                     "block's output at position t depends on the future)")
             heads, eps = layer.num_heads, layer.eps
+            window = layer.attn_window
             blocks.append({k: v.data for k, v in layer.params.items()})
         elif isinstance(layer, Dense):
             head = {k: v.data for k, v in layer.params.items()}
@@ -74,7 +75,7 @@ def _extract(net):
     if emb is None or pos is None or head is None or not blocks:
         raise ValueError("net is not a causal LM "
                          "(Embedding + PositionalEmbedding + blocks + head)")
-    return emb, pos, blocks, head, heads, eps
+    return emb, pos, blocks, head, heads, eps, window
 
 
 def _extract_llama(net):
@@ -92,7 +93,7 @@ def _extract_llama(net):
             if not layer.causal:
                 raise ValueError("generate() needs causal LlamaBlocks")
             meta = (layer.num_heads, layer.num_kv_heads, layer.head_dim,
-                    layer.eps, layer.rope_base)
+                    layer.eps, layer.rope_base, layer.attn_window)
             blocks.append({k: v.data for k, v in layer.params.items()})
         elif isinstance(layer, RMSNorm):
             norm = layer.params["g"].data
@@ -134,7 +135,15 @@ def _rope_batch(x, base):
                            axis=-1)
 
 
-def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max):
+def _banded_tril(t0, window):
+    m = jnp.tril(jnp.ones((t0, t0), bool))
+    if window is not None:
+        m &= ~jnp.tril(jnp.ones((t0, t0), bool), -window)
+    return m
+
+
+def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max,
+                     window=None):
     """Batched prefill — the serving-standard prefill/decode split: ONE
     fused forward over the whole prompt [B, T0] computes every block's
     K/V for all prompt positions (written into the static-size caches)
@@ -144,7 +153,7 @@ def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max):
     d = emb.shape[1]
     hd = d // heads
     x = emb[prompt] + pos[:, :t0]
-    mask = jnp.tril(jnp.ones((t0, t0), bool))
+    mask = _banded_tril(t0, window)
     caches = []
     for bp in blocks:
         xn = _ln(x, bp["g1"], bp["be1"], eps)
@@ -166,14 +175,14 @@ def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max):
 
 
 def _prefill_llama(blocks, emb, normg, head, hkv, group, hd, eps, base,
-                   prompt, t_max):
+                   prompt, t_max, window=None):
     """Batched llama prefill: one fused pass filling the GQA caches
     (held at Hkv heads) for all prompt positions."""
     b, t0 = prompt.shape
     d = emb.shape[1]
     h = hkv * group
     x = emb[prompt]
-    mask = jnp.tril(jnp.ones((t0, t0), bool))
+    mask = _banded_tril(t0, window)
     caches = []
     for bp in blocks:
         xn = _rms(x, bp["g1"], eps)
@@ -197,9 +206,12 @@ def _prefill_llama(blocks, emb, normg, head, hkv, group, hd, eps, base,
     return _rms(x[:, -1], normg, eps) @ head["w"] + head["b"], caches
 
 
-def _block_step(bp, x, cache_k, cache_v, t, heads, eps, t_max):
+def _block_step(bp, x, cache_k, cache_v, t, heads, eps, t_max,
+                window=None):
     """One transformer block on ONE token x [B, D] at position t, reading
-    and appending the block's KV cache [B, H, T_max, hd]."""
+    and appending the block's KV cache [B, H, T_max, hd]. ``window``:
+    sliding-window attention — only cache rows in (t - window, t] are
+    visible."""
     b, d = x.shape
     hd = d // heads
     xn = _ln(x, bp["g1"], bp["be1"], eps)
@@ -211,7 +223,10 @@ def _block_step(bp, x, cache_k, cache_v, t, heads, eps, t_max):
     s = jnp.einsum("bhqd,bhkd->bhqk", q, cache_k,
                    preferred_element_type=jnp.float32) / np.sqrt(hd)
     pos_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-    s = jnp.where(pos_ids <= t, s, _NEG_INF)
+    vis = pos_ids <= t
+    if window is not None:
+        vis &= pos_ids > t - window
+    s = jnp.where(vis, s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", p, cache_v,
                      preferred_element_type=jnp.float32)
@@ -222,7 +237,7 @@ def _block_step(bp, x, cache_k, cache_v, t, heads, eps, t_max):
 
 
 def _llama_block_step(bp, x, cache_k, cache_v, t, hkv, group, hd, eps,
-                      base):
+                      base, window=None):
     """One LlamaBlock on ONE token x [B, D] at position t, reading and
     appending the block's GQA KV cache [B, Hkv, T_max, hd] — the cache is
     held at Hkv heads (the GQA serving saving); the query's H = Hkv*group
@@ -239,7 +254,10 @@ def _llama_block_step(bp, x, cache_k, cache_v, t, hkv, group, hd, eps,
     s = jnp.einsum("bkgd,bktd->bkgt", q, cache_k,
                    preferred_element_type=jnp.float32) / np.sqrt(hd)
     pos_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-    s = jnp.where(pos_ids <= t, s, _NEG_INF)
+    vis = pos_ids <= t
+    if window is not None:
+        vis &= pos_ids > t - window
+    s = jnp.where(vis, s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     ctx = jnp.einsum("bkgt,bktd->bkgd", p, cache_v,
                      preferred_element_type=jnp.float32)
@@ -301,12 +319,12 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
     is_llama = any(isinstance(getattr(lyr, "inner", lyr), LlamaBlock)
                    for lyr in net.layers)
     if is_llama:
-        emb, blocks, normg, head, (h, hkv, hd, eps, base) = \
+        emb, blocks, normg, head, (h, hkv, hd, eps, base, window) = \
             _extract_llama(net)
         t_max = t0 + n_new
         group = h // hkv
     else:
-        emb, pos, blocks, head, heads, eps = _extract(net)
+        emb, pos, blocks, head, heads, eps, window = _extract(net)
         t_max = pos.shape[1]
         if t0 + n_new > t_max:
             raise ValueError(
@@ -322,14 +340,15 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
             for l in range(n_blocks):
                 ck, cv = caches[l]
                 x, ck, cv = _llama_block_step(
-                    blocks[l], x, ck, cv, t, hkv, group, hd, eps, base)
+                    blocks[l], x, ck, cv, t, hkv, group, hd, eps, base,
+                    window)
                 new_caches.append((ck, cv))
             return _rms(x, normg, eps) @ head["w"] + head["b"], new_caches
         x = emb[tok] + pos[0, t]
         for l in range(n_blocks):
             ck, cv = caches[l]
             x, ck, cv = _block_step(blocks[l], x, ck, cv, t, heads, eps,
-                                    t_max)
+                                    t_max, window)
             new_caches.append((ck, cv))
         return x @ head["w"] + head["b"], new_caches
 
@@ -347,10 +366,10 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
         if is_llama:
             logits, caches = _prefill_llama(
                 blocks, emb, normg, head, hkv, group, hd, eps, base,
-                prompt, t_max)
+                prompt, t_max, window)
         else:
             logits, caches = _prefill_classic(
-                blocks, emb, pos, head, heads, eps, prompt, t_max)
+                blocks, emb, pos, head, heads, eps, prompt, t_max, window)
 
         def decode_body(carry, i):
             caches, logits, key, done = carry
@@ -405,12 +424,12 @@ def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
     is_llama = any(isinstance(getattr(lyr, "inner", lyr), LlamaBlock)
                    for lyr in net.layers)
     if is_llama:
-        emb, blocks, normg, head, (h, hkv, hd, eps, base) = \
+        emb, blocks, normg, head, (h, hkv, hd, eps, base, window) = \
             _extract_llama(net)
         t_max = t0 + n_new
         group = h // hkv
     else:
-        emb, pos, blocks, head, heads, eps = _extract(net)
+        emb, pos, blocks, head, heads, eps, window = _extract(net)
         t_max = pos.shape[1]
         if t0 + n_new > t_max:
             raise ValueError(
@@ -426,14 +445,15 @@ def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
             for l in range(n_blocks):
                 ck, cv = caches[l]
                 x, ck, cv = _llama_block_step(
-                    blocks[l], x, ck, cv, t, hkv, group, hd, eps, base)
+                    blocks[l], x, ck, cv, t, hkv, group, hd, eps, base,
+                    window)
                 new_caches.append((ck, cv))
             return _rms(x, normg, eps) @ head["w"] + head["b"], new_caches
         x = emb[tok] + pos[0, t]
         for l in range(n_blocks):
             ck, cv = caches[l]
             x, ck, cv = _block_step(blocks[l], x, ck, cv, t, heads, eps,
-                                    t_max)
+                                    t_max, window)
             new_caches.append((ck, cv))
         return x @ head["w"] + head["b"], new_caches
 
@@ -442,10 +462,10 @@ def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
         if is_llama:
             logits, caches = _prefill_llama(
                 blocks, emb, normg, head, hkv, group, hd, eps, base,
-                prompt, t_max)
+                prompt, t_max, window)
         else:
             logits, caches = _prefill_classic(
-                blocks, emb, pos, head, heads, eps, prompt, t_max)
+                blocks, emb, pos, head, heads, eps, prompt, t_max, window)
         vocab = logits.shape[-1]
 
         # seed the beams from the prompt's next-token distribution: the

@@ -281,10 +281,14 @@ class TransformerBlock(Layer):
 
     def __init__(self, dim, num_heads, mlp_ratio=4, causal=False,
                  w_init=None, eps=1e-5, seed=None, attn="fused",
-                 dropout=0.0, attn_dropout=0.0):
+                 dropout=0.0, attn_dropout=0.0, attn_window=None):
         super().__init__("TransformerBlock")
         assert dim % num_heads == 0, (dim, num_heads)
         assert attn in ("fused", "tape"), attn
+        if attn_window is not None and not causal:
+            raise ValueError("attn_window (sliding-window attention) "
+                             "requires causal=True")
+        self.attn_window = attn_window
         self.dim = dim
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
@@ -346,8 +350,12 @@ class TransformerBlock(Layer):
 
         if not self.causal:
             return None
-        return jnp.where(
-            np.tril(np.ones((t, t), np.float32)) == 1.0, 0.0, -1e9)
+        m = np.tril(np.ones((t, t), np.bool_))
+        w = self.attn_window
+        if w is not None and w < t:
+            # sliding window: position p sees keys in (p - w, p]
+            m &= ~np.tril(np.ones((t, t), np.bool_), -w)
+        return jnp.where(m, 0.0, -1e9)
 
     def forward(self, inputs):
         p = self.params
@@ -371,7 +379,8 @@ class TransformerBlock(Layer):
             ctx_h = ops.flash_attention_(
                 q, k, v, causal=self.causal, scale=1.0 / np.sqrt(hd),
                 dropout_rate=attn_rate,
-                dropout_rng=keys[0] if attn_rate else None)
+                dropout_rng=keys[0] if attn_rate else None,
+                window=self.attn_window)
         else:
             scores = (q @ k.transpose((0, 1, 3, 2))) * (1.0 / np.sqrt(hd))
             mask = self._mask(t)
@@ -434,10 +443,15 @@ class LlamaBlock(Layer):
 
     def __init__(self, dim, num_heads, num_kv_heads=None, mlp_ratio=8 / 3,
                  causal=True, w_init=None, eps=1e-6, rope_base=10000.0,
-                 seed=None, attn="fused", dropout=0.0, attn_dropout=0.0):
+                 seed=None, attn="fused", dropout=0.0, attn_dropout=0.0,
+                 attn_window=None):
         super().__init__("LlamaBlock")
         assert dim % num_heads == 0, (dim, num_heads)
         assert attn in ("fused", "tape"), attn
+        if attn_window is not None and not causal:
+            raise ValueError("attn_window (sliding-window attention) "
+                             "requires causal=True")
+        self.attn_window = attn_window
         num_kv_heads = num_heads if num_kv_heads is None else num_kv_heads
         assert num_heads % num_kv_heads == 0, (num_heads, num_kv_heads)
         self.dim = dim
@@ -497,7 +511,8 @@ class LlamaBlock(Layer):
             ctx_h = ops.flash_attention_(
                 q, k, v, causal=self.causal, scale=1.0 / np.sqrt(hd),
                 dropout_rate=attn_rate,
-                dropout_rng=keys[0] if attn_rate else None)
+                dropout_rng=keys[0] if attn_rate else None,
+                window=self.attn_window)
         else:
             if hkv != h:
                 k = _repeat_heads(k, h // hkv)

@@ -201,7 +201,7 @@ def _keep_thresh(rate):
 # --------------------------------------------------------------- forward
 
 def _fwd_kernel_single(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
-                       *, scale, causal, bq, bk, g, tq, tk, dropout):
+                       *, scale, causal, bq, bk, g, tq, tk, dropout, window):
     """Direct-softmax kernel (VERDICT r4 item 4, generalized round 5):
     the whole KEY axis is resident (bk == tk), so the online-softmax
     recurrence — scratch init/rescale/finish and their @pl.when branches
@@ -216,7 +216,10 @@ def _fwd_kernel_single(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
     s = _bdot(q, kt_ref[...]) * scale                  # [G, bq, tk] f32
     if causal:
         rows, cols = _causal_mask(i * bq, 0, g, bq, bk)
-        s = jnp.where(rows >= cols, s, _NEG_INF)
+        vis = rows >= cols
+        if window is not None:
+            vis = vis & (rows - cols < window)
+        s = jnp.where(vis, s, _NEG_INF)
     m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=2, keepdims=True)
@@ -230,7 +233,7 @@ def _fwd_kernel_single(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
 
 
 def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr,
-                l_scr, *, scale, causal, bq, bk, g, tq, tk, dropout):
+                l_scr, *, scale, causal, bq, bk, g, tq, tk, dropout, window):
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
@@ -239,13 +242,22 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr,
         m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
 
-    @pl.when(jnp.logical_or(not causal, j * bk <= i * bq + bq - 1))
+    vis_tile = jnp.logical_or(not causal, j * bk <= i * bq + bq - 1)
+    if window is not None:
+        # tiles entirely BELOW the sliding window are fully masked too
+        vis_tile = jnp.logical_and(
+            vis_tile, j * bk + bk - 1 >= i * bq - window + 1)
+
+    @pl.when(vis_tile)
     def _tile():
         q = q_ref[...]
         s = _bdot(q, kt_ref[...]) * scale              # [G, bq, bk] f32
         if causal:
             rows, cols = _causal_mask(i * bq, j * bk, g, bq, bk)
-            s = jnp.where(rows >= cols, s, _NEG_INF)
+            vis = rows >= cols
+            if window is not None:
+                vis = vis & (rows - cols < window)
+            s = jnp.where(vis, s, _NEG_INF)
         m_old = m_scr[...]                             # [G, bq, 1]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m_old - m_new)
@@ -267,7 +279,8 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m_scr,
         lse_ref[...] = m_scr[...] + jnp.log(l)
 
 
-def _fwd_pallas(q, kt, v, scale, causal, interpret, dropout=0.0, seed=None):
+def _fwd_pallas(q, kt, v, scale, causal, interpret, dropout=0.0,
+                seed=None, window=None):
     bh, tq, d = q.shape
     tk = v.shape[1]
     bq, bk = _pick_block(tq), _pick_block(tk)
@@ -289,10 +302,17 @@ def _fwd_pallas(q, kt, v, scale, causal, interpret, dropout=0.0, seed=None):
     # valid tile also skips their DMA (Pallas only fetches when a block
     # index changes) — halves the streamed bytes of causal long sequences
     def jc(i, j):
-        return jnp.minimum(j, i) if causal else j
+        if not causal:
+            return j
+        j2 = jnp.minimum(j, i)
+        if window is not None:
+            # also clamp fetches of tiles below the window (their compute
+            # is skipped by the kernel's visibility predicate)
+            j2 = jnp.maximum(j2, jnp.maximum(0, i * bq - window + 1) // bk)
+        return j2
 
     params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g,
-                  tq=tq, tk=tk, dropout=dropout)
+                  tq=tq, tk=tk, dropout=dropout, window=window)
     seed_arr = _seed_arr(seed)
     if nk == 1:
         # whole key axis resident (single plane or row-band): direct
@@ -355,7 +375,7 @@ def _seed_arr(seed):
 def _bwd_kernel_single(seed_ref, q_ref, kt_ref, k_ref, vt_ref, v_ref,
                        qt_ref, dot_ref, do_ref, lse_ref, lse_r_ref,
                        delta_ref, delta_r_ref, dq_ref, dk_ref, dv_ref, *,
-                       scale, causal, bq, bk, g, tq, tk, dropout):
+                       scale, causal, bq, bk, g, tq, tk, dropout, window):
     """Short-T backward specialization (round 5): when the whole [T, T]
     plane is one block, dq/dk/dv fuse into ONE kernel with no scratch
     accumulators or @pl.when machinery. Both score orientations are
@@ -374,7 +394,10 @@ def _bwd_kernel_single(seed_ref, q_ref, kt_ref, k_ref, vt_ref, v_ref,
     s = _bdot(q, kt_ref[...]) * scale                  # [G, T, T]
     if causal:
         rows, cols = _causal_mask(0, 0, g, bq, bk)
-        s = jnp.where(rows >= cols, s, _NEG_INF)
+        vis = rows >= cols
+        if window is not None:
+            vis = vis & (rows - cols < window)
+        s = jnp.where(vis, s, _NEG_INF)
     p = jnp.exp(s - lse_ref[...])
     dp = _bdot(do_ref[...], vt_ref[...])               # [G, T, T]
     if dropout > 0.0:
@@ -389,7 +412,10 @@ def _bwd_kernel_single(seed_ref, q_ref, kt_ref, k_ref, vt_ref, v_ref,
     if causal:
         rows, cols = _causal_mask(0, 0, g, bk, bq)
         # rows are KEY indices, cols QUERY indices: valid when q >= k
-        st = jnp.where(cols >= rows, st, _NEG_INF)
+        vis = cols >= rows
+        if window is not None:
+            vis = vis & (cols - rows < window)
+        st = jnp.where(vis, st, _NEG_INF)
     pt = jnp.exp(st - lse_r_ref[...])
     dpt = _bdot(v_ref[...], dot_ref[...])              # [G, T, T]
     if dropout > 0.0:
@@ -407,7 +433,7 @@ def _bwd_kernel_single(seed_ref, q_ref, kt_ref, k_ref, vt_ref, v_ref,
 
 def _bwd_pallas_single(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
                        delta_r, scale, causal, interpret, dropout=0.0,
-                       seed=None):
+                       seed=None, window=None):
     """pallas_call wrapper for _bwd_kernel_single: ONE kernel, grid only
     over head batches, every operand a single whole-[T] block. The live
     working set per head is ~8 [T, d] streams plus up to 4 [T, T] f32
@@ -426,7 +452,7 @@ def _bwd_pallas_single(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
                             memory_space=pltpu.VMEM)
 
     params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g,
-                  tq=tq, tk=tk, dropout=dropout)
+                  tq=tq, tk=tk, dropout=dropout, window=window)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel_single, **params),
         grid=(bh // g,),
@@ -463,7 +489,7 @@ def _bwd_pallas_single(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
 
 def _dq_kernel_band(seed_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref,
                     lse_ref, delta_ref, dq_ref, *, scale, causal, bq, bk,
-                    g, tq, tk, dropout):
+                    g, tq, tk, dropout, window):
     """Row-band dq (round 5): the whole key axis is resident (bk == tk),
     so each grid step computes its query band's dq directly — no
     accumulator scratch, no @pl.when. The direct-form counterpart of
@@ -473,7 +499,10 @@ def _dq_kernel_band(seed_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref,
     s = _bdot(q, kt_ref[...]) * scale                  # [G, bq, tk]
     if causal:
         rows, cols = _causal_mask(i * bq, 0, g, bq, bk)
-        s = jnp.where(rows >= cols, s, _NEG_INF)
+        vis = rows >= cols
+        if window is not None:
+            vis = vis & (rows - cols < window)
+        s = jnp.where(vis, s, _NEG_INF)
     p = jnp.exp(s - lse_ref[...])
     dp = _bdot(do_ref[...], vt_ref[...])               # [G, bq, tk]
     if dropout > 0.0:
@@ -486,7 +515,7 @@ def _dq_kernel_band(seed_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref,
 
 def _dkv_kernel_band(seed_ref, k_ref, qt_ref, q_ref, dot_ref, do_ref,
                      v_ref, lse_r_ref, delta_r_ref, dk_ref, dv_ref, *,
-                     scale, causal, bq, bk, g, tq, tk, dropout):
+                     scale, causal, bq, bk, g, tq, tk, dropout, window):
     """Row-band dk/dv (round 5): the whole QUERY axis is resident
     (bq == tq here), grid walks KEY bands of height bk; transposed-tile
     layout like _dkv_kernel (keys on sublanes) so every dot stays
@@ -497,7 +526,10 @@ def _dkv_kernel_band(seed_ref, k_ref, qt_ref, q_ref, dot_ref, do_ref,
     if causal:
         rows, cols = _causal_mask(j * bk, 0, g, bk, bq)
         # rows are KEY indices, cols QUERY indices: valid when q >= k
-        st = jnp.where(cols >= rows, st, _NEG_INF)
+        vis = cols >= rows
+        if window is not None:
+            vis = vis & (cols - rows < window)
+        st = jnp.where(vis, st, _NEG_INF)
     pt = jnp.exp(st - lse_r_ref[...])
     dpt = _bdot(v_ref[...], dot_ref[...])              # [G, bk, tq]
     if dropout > 0.0:
@@ -516,7 +548,7 @@ def _dkv_kernel_band(seed_ref, k_ref, qt_ref, q_ref, dot_ref, do_ref,
 
 def _bwd_pallas_band(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
                      delta_r, scale, causal, interpret, dropout, seed,
-                     bq_band, bk_band):
+                     bq_band, bk_band, window=None):
     """Banded backward: dq gridded over query bands (whole K resident),
     dk/dv gridded over key bands (whole Q resident) — both direct-form,
     no accumulator scratch. Engages between the whole-plane fused kernel
@@ -528,7 +560,7 @@ def _bwd_pallas_band(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
     # --- dq over query bands
     g = _pick_head_batch(bh, bq_band, tk, d, n_streams=4)
     params = dict(scale=scale, causal=causal, bq=bq_band, bk=tk, g=g,
-                  tq=tq, tk=tk, dropout=dropout)
+                  tq=tq, tk=tk, dropout=dropout, window=window)
 
     def bi(shape):   # banded over axis 1 (query)
         return pl.BlockSpec(shape, lambda b, i: (b, i, 0),
@@ -562,7 +594,7 @@ def _bwd_pallas_band(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
     # --- dk/dv over key bands
     g2 = _pick_head_batch(bh, tq, bk_band, d, n_streams=5)
     params2 = dict(scale=scale, causal=causal, bq=tq, bk=bk_band, g=g2,
-                   tq=tq, tk=tk, dropout=dropout)
+                   tq=tq, tk=tk, dropout=dropout, window=window)
 
     def bj(shape):   # banded over axis 1 (key)
         return pl.BlockSpec(shape, lambda b, j: (b, j, 0),
@@ -602,20 +634,28 @@ def _bwd_pallas_band(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta,
 
 def _dq_kernel(seed_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref,
                delta_ref, dq_ref, dq_acc, *, scale, causal, bq, bk, g,
-               tq, tk, dropout):
+               tq, tk, dropout, window):
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    @pl.when(jnp.logical_or(not causal, j * bk <= i * bq + bq - 1))
+    vis_tile = jnp.logical_or(not causal, j * bk <= i * bq + bq - 1)
+    if window is not None:
+        vis_tile = jnp.logical_and(
+            vis_tile, j * bk + bk - 1 >= i * bq - window + 1)
+
+    @pl.when(vis_tile)
     def _tile():
         q = q_ref[...]
         s = _bdot(q, kt_ref[...]) * scale              # [G, bq, bk]
         if causal:
             rows, cols = _causal_mask(i * bq, j * bk, g, bq, bk)
-            s = jnp.where(rows >= cols, s, _NEG_INF)
+            vis = rows >= cols
+            if window is not None:
+                vis = vis & (rows - cols < window)
+            s = jnp.where(vis, s, _NEG_INF)
         p = jnp.exp(s - lse_ref[...])
         dp = _bdot(do_ref[...], vt_ref[...])           # [G, bq, bk]
         if dropout > 0.0:
@@ -634,7 +674,7 @@ def _dq_kernel(seed_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref,
 
 def _dkv_kernel(seed_ref, k_ref, qt_ref, q_ref, dot_ref, do_ref, v_ref,
                 lse_r_ref, delta_r_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                *, scale, causal, bq, bk, g, tq, tk, dropout):
+                *, scale, causal, bq, bk, g, tq, tk, dropout, window):
     """Transposed-tile layout: keys on sublanes, queries on lanes —
     s^T = K Q^T, p^T = exp(s^T - L_row); then
     dV = p^T dO and dK = ds^T Q are BOTH native-form matmuls."""
@@ -645,14 +685,23 @@ def _dkv_kernel(seed_ref, k_ref, qt_ref, q_ref, dot_ref, do_ref, v_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    @pl.when(jnp.logical_or(not causal, i * bq + bq - 1 >= j * bk))
+    vis_tile = jnp.logical_or(not causal, i * bq + bq - 1 >= j * bk)
+    if window is not None:
+        # query tiles entirely beyond this key block's window
+        vis_tile = jnp.logical_and(
+            vis_tile, i * bq <= j * bk + bk - 1 + window - 1)
+
+    @pl.when(vis_tile)
     def _tile():
         k = k_ref[...]
         st = _bdot(k, qt_ref[...]) * scale             # [G, bk, bq]
         if causal:
             rows, cols = _causal_mask(j * bk, i * bq, g, bk, bq)
             # rows are KEY indices, cols are QUERY indices: valid q >= k
-            st = jnp.where(cols >= rows, st, _NEG_INF)
+            vis = cols >= rows
+            if window is not None:
+                vis = vis & (cols - rows < window)
+            st = jnp.where(vis, st, _NEG_INF)
         pt = jnp.exp(st - lse_r_ref[...])              # [G, bk, bq]
         if dropout > 0.0:
             # transposed-orientation replay: queries live on LANES here
@@ -678,13 +727,14 @@ def _dkv_kernel(seed_ref, k_ref, qt_ref, q_ref, dot_ref, do_ref, v_ref,
 
 
 def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
-                scale, causal, interpret, dropout=0.0, seed=None):
+                scale, causal, interpret, dropout=0.0, seed=None,
+                window=None):
     bh, tq, d = q.shape
     tk = v.shape[1]
     if _single_plane_ok(tq, tk, d, n_streams=8):
         return _bwd_pallas_single(
             q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
-            scale, causal, interpret, dropout, seed)
+            scale, causal, interpret, dropout, seed, window=window)
     bq_band = _pick_band_rows(tq, tk, d, n_streams=4)
     bk_band = _pick_band_rows(tk, tq, d, n_streams=5)
     if bq_band is not None and bk_band is not None and (
@@ -699,7 +749,8 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
         # tile count.
         return _bwd_pallas_band(
             q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
-            scale, causal, interpret, dropout, seed, bq_band, bk_band)
+            scale, causal, interpret, dropout, seed, bq_band, bk_band,
+            window=window)
     bq, bk = _pick_block(tq), _pick_block(tk)
     nq, nk = tq // bq, tk // bk
     g = _pick_head_batch(bh, bq, bk, d, n_streams=8)
@@ -708,7 +759,12 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
     # causal DMA skip (see _fwd_pallas): in the dq kernel tiles with j > i
     # are fully masked — clamp their j-indexed block fetches
     def jc(i, j):
-        return jnp.minimum(j, i) if causal else j
+        if not causal:
+            return j
+        j2 = jnp.minimum(j, i)
+        if window is not None:
+            j2 = jnp.maximum(j2, jnp.maximum(0, i * bq - window + 1) // bk)
+        return j2
 
     def blk(shape, which):
         # which: grid axis the block index follows ('i' or 'j' or none)
@@ -725,7 +781,7 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
                             memory_space=pltpu.VMEM)
 
     params = dict(scale=scale, causal=causal, bq=bq, bk=bk, g=g,
-                  tq=tq, tk=tk, dropout=dropout)
+                  tq=tq, tk=tk, dropout=dropout, window=window)
     smem_scalar = pl.BlockSpec((1, 1), lambda b, i, j: (0, 0),
                                memory_space=pltpu.SMEM)
     dq = pl.pallas_call(
@@ -753,7 +809,12 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
     # Causal skip here: tiles with i < j are fully masked — clamp their
     # i-indexed block fetches.
     def ic(j, i):
-        return jnp.maximum(i, j) if causal else i
+        if not causal:
+            return i
+        i2 = jnp.maximum(i, j)
+        if window is not None:
+            i2 = jnp.minimum(i2, (j * bk + bk - 1 + window - 1) // bq)
+        return i2
 
     def blk2(shape, which):
         if which == "j":
@@ -807,7 +868,7 @@ def _full_keep_mask(seed, bh, tq, tk, dropout):
                            _keep_thresh(dropout))
 
 
-def _fwd_xla(q, k, v, scale, causal, dropout=0.0, seed=None):
+def _fwd_xla(q, k, v, scale, causal, dropout=0.0, seed=None, window=None):
     """Identical math (incl. the saved logsumexp) in plain XLA — the CPU /
     odd-shape path. Scores DO materialize here; this is the correctness
     twin, not the fast path."""
@@ -816,6 +877,8 @@ def _fwd_xla(q, k, v, scale, causal, dropout=0.0, seed=None):
     if causal:
         t = q.shape[1]
         mask = np.tril(np.ones((t, t), np.bool_))
+        if window is not None:
+            mask &= ~np.tril(np.ones((t, t), np.bool_), -window)
         s = jnp.where(mask, s, _NEG_INF)
     m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
@@ -830,12 +893,14 @@ def _fwd_xla(q, k, v, scale, causal, dropout=0.0, seed=None):
 
 
 def _bwd_xla(q, k, v, do, lse, delta, scale, causal, dropout=0.0,
-             seed=None):
+             seed=None, window=None):
     s = jnp.einsum("bqd,bkd->bqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     if causal:
         t = q.shape[1]
         mask = np.tril(np.ones((t, t), np.bool_))
+        if window is not None:
+            mask &= ~np.tril(np.ones((t, t), np.bool_), -window)
         s = jnp.where(mask, s, _NEG_INF)
     p = jnp.exp(s - lse)
     dp = jnp.einsum("bqd,bkd->bqk", do, v,
@@ -902,6 +967,20 @@ def _fold(x):
     return x.reshape(b * h, t, d)
 
 
+def _norm_window(window, causal, t):
+    """Validate/normalize sliding-window size: None passthrough, must be
+    a positive int, requires the causal mask, and window >= t degenerates
+    to plain causal attention (None)."""
+    if window is None:
+        return None
+    if not causal:
+        raise ValueError("sliding-window attention requires causal=True")
+    window = int(window)
+    if window < 1:
+        raise ValueError("window must be >= 1, got %d" % window)
+    return None if window >= t else window
+
+
 def _group_seed(seed, gi):
     """Decorrelate GQA group ``gi``'s in-kernel dropout stream (the hash
     indexes heads within one call; two group calls would otherwise share
@@ -913,7 +992,7 @@ def _group_seed(seed, gi):
 
 
 def mha_fwd(q, k, v, causal=False, scale=None, impl=None,
-            dropout_rate=0.0, dropout_seed=None):
+            dropout_rate=0.0, dropout_seed=None, window=None):
     """softmax(Q K^T * scale [+ causal mask]) V. Q: [B, H, Tq, d];
     K/V: [B, H, Tk, d] (cross-attention allowed; ``causal`` requires
     Tq == Tk). Returns (o [B,H,Tq,d], lse [B,H,Tq,1] f32) — lse is the
@@ -929,8 +1008,16 @@ def mha_fwd(q, k, v, causal=False, scale=None, impl=None,
     ``dropout_rate``/``dropout_seed``: attention-probability dropout with
     an in-kernel counter-hash mask — no [T, T] mask tensor exists anywhere;
     mha_bwd replays the identical mask from the same (static rate, traced
-    seed) pair. The seed is a uint32 scalar (python int or traced)."""
+    seed) pair. The seed is a uint32 scalar (python int or traced).
+
+    ``window``: SLIDING-WINDOW attention (requires ``causal``): position
+    p attends keys in (p - window, p]. The gridded kernels skip both the
+    compute AND the DMA of tiles outside the band (same block-index
+    clamping as the causal skip), so cost is O(T * window) instead of
+    O(T^2); the resident-plane kernels and the XLA fallback mask in
+    place. ``window >= t`` is a no-op (dropped to None)."""
     b, h, t, d = q.shape
+    window = _norm_window(window, causal, t)
     hkv = k.shape[1]
     if hkv != h:
         if h % hkv:
@@ -944,7 +1031,8 @@ def mha_fwd(q, k, v, causal=False, scale=None, impl=None,
             o_g, lse_g = mha_fwd(qg[:, :, gi], k, v, causal=causal,
                                  scale=scale, impl=impl,
                                  dropout_rate=dropout_rate,
-                                 dropout_seed=_group_seed(dropout_seed, gi))
+                                 dropout_seed=_group_seed(dropout_seed, gi),
+                                 window=window)
             os_.append(o_g)
             lses.append(lse_g)
         return (jnp.stack(os_, axis=2).reshape(b, h, t, d),
@@ -963,23 +1051,27 @@ def mha_fwd(q, k, v, causal=False, scale=None, impl=None,
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     if impl == "xla":
         o, lse = _fwd_xla(qf, kf, vf, scale, causal,
-                          dropout=dropout_rate, seed=dropout_seed)
+                          dropout=dropout_rate, seed=dropout_seed,
+                          window=window)
     else:
         o, lse = _fwd_pallas(qf, jnp.swapaxes(kf, 1, 2), vf, scale, causal,
                              interpret=(impl == "pallas_interpret"),
-                             dropout=dropout_rate, seed=dropout_seed)
+                             dropout=dropout_rate, seed=dropout_seed,
+                             window=window)
     return o.reshape(b, h, t, d), lse.reshape(b, h, t, 1)
 
 
 def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None,
-            dropout_rate=0.0, dropout_seed=None):
+            dropout_rate=0.0, dropout_seed=None, window=None):
     """Hand-written VJP of mha_fwd (recompute scheme; see module docstring).
     Returns (dq, dk, dv) in the operands' shapes. Pass the SAME
     dropout_rate/dropout_seed as the forward — the keep mask is replayed
     in-kernel from the hash, never stored. GQA (fewer K/V heads): loops
     per query group like mha_fwd, ACCUMULATING dk/dv across groups —
-    exactly the reduction a repeated-KV unbroadcast would perform."""
+    exactly the reduction a repeated-KV unbroadcast would perform.
+    Pass the forward's ``window`` too — the recompute masks must match."""
     b, h, t, d = q.shape
+    window = _norm_window(window, causal, t)
     hkv = k.shape[1]
     if hkv != h:
         group = h // hkv
@@ -993,7 +1085,8 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None,
                 qg[:, :, gi], k, v, og[:, :, gi], lseg[:, :, gi],
                 dog[:, :, gi], causal=causal, scale=scale, impl=impl,
                 dropout_rate=dropout_rate,
-                dropout_seed=_group_seed(dropout_seed, gi))
+                dropout_seed=_group_seed(dropout_seed, gi),
+                window=window)
             dqs.append(dq_g)
             dk_acc = dk_g if dk_acc is None else dk_acc + dk_g
             dv_acc = dv_g if dv_acc is None else dv_acc + dv_g
@@ -1014,7 +1107,8 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None,
                     axis=2, keepdims=True)
     if impl == "xla":
         dq, dk, dv = _bwd_xla(qf, kf, vf, dof, lsef, delta, scale, causal,
-                              dropout=dropout_rate, seed=dropout_seed)
+                              dropout=dropout_rate, seed=dropout_seed,
+                              window=window)
     else:
         kt = jnp.swapaxes(kf, 1, 2)
         vt = jnp.swapaxes(vf, 1, 2)
@@ -1025,6 +1119,6 @@ def mha_bwd(q, k, v, o, lse, do, causal=False, scale=None, impl=None,
         dq, dk, dv = _bwd_pallas(
             qf, kt, kf, vt, vf, qt, dot_, dof, lsef, lse_r, delta, delta_r,
             scale, causal, interpret=(impl == "pallas_interpret"),
-            dropout=dropout_rate, seed=dropout_seed)
+            dropout=dropout_rate, seed=dropout_seed, window=window)
     return (dq.reshape(b, h, t, d), dk.reshape(b, h, tk, d),
             dv.reshape(b, h, tk, d))

@@ -868,7 +868,7 @@ def dropout_(ts, rate, rng):
 
 
 def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None,
-                     dropout_rate=0.0, dropout_rng=None):
+                     dropout_rate=0.0, dropout_rng=None, window=None):
     """Fused multi-head attention as ONE tape primitive:
     out = softmax(Q K^T * scale [+ causal mask]) V, Q/K/V: [B, H, T, d].
 
@@ -895,6 +895,12 @@ def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None,
     (a tape-level broadcast would be forced concrete by the Pallas call);
     dK/dV accumulate across the group calls, and each group's dropout
     stream is decorrelated by folding the group index into the seed.
+
+    ``window``: SLIDING-WINDOW attention (requires ``causal``) — position
+    p attends only keys in (p - window, p]. The gridded kernels skip the
+    compute AND DMA of out-of-band tiles (O(T*window) cost); resident-
+    plane kernels and the XLA fallback mask in place. The recompute
+    backward applies the identical band.
     """
     from tinynn_autograd_tpu.ops import attention
 
@@ -904,7 +910,7 @@ def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None,
     seed = _attn_dropout_seed(dropout_rate, dropout_rng)
     o, lse = attention.mha_fwd(q, k, v, causal=causal, scale=scale,
                                impl=impl, dropout_rate=dropout_rate,
-                               dropout_seed=seed)
+                               dropout_seed=seed, window=window)
 
     cache = []  # [grad_object, (dq, dk, dv)] — strong ref + identity compare
 
@@ -912,7 +918,8 @@ def flash_attention_(ts_q, ts_k, ts_v, causal=False, scale=None, impl=None,
         if not cache or cache[0] is not grad:
             cache[:] = [grad, attention.mha_bwd(
                 q, k, v, o, lse, grad, causal=causal, scale=scale,
-                impl=impl, dropout_rate=dropout_rate, dropout_seed=seed)]
+                impl=impl, dropout_rate=dropout_rate, dropout_seed=seed,
+                window=window)]
         return cache[1]
 
     def gq(grad):

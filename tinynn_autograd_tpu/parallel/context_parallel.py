@@ -105,6 +105,13 @@ class ContextParallel:
                 raise ValueError(
                     "ulysses GQA needs kv heads (%d) divisible by the "
                     "mesh (%d)" % (layer.num_kv_heads, self.n_devices))
+            if (self.mode != "ulysses"
+                    and isinstance(layer, (TransformerBlock, LlamaBlock))
+                    and getattr(layer, "attn_window", None) is not None):
+                raise ValueError(
+                    "sliding-window attention (attn_window) is not "
+                    "supported by the ring CP modes (their masks are "
+                    "built per ring hop); use mode='ulysses'")
 
     # ------------------------------------------------------------- forward
 
