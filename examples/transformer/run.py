@@ -40,6 +40,9 @@ def main():
                         help="sampled decode demo temperature (0 = skip)")
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
+    parser.add_argument("--attn_window", type=int, default=None,
+                        help="sliding-window (causal local) attention "
+                             "span; None = full causal")
     args = parser.parse_args()
 
     import numpy as np
@@ -62,8 +65,11 @@ def main():
     if args.model == "llama":
         net = build_tiny_llama(vocab=V, dim=64, heads=4,
                                kv_heads=args.kv_heads, depth=2,
-                               remat=args.remat)
+                               remat=args.remat,
+                               attn_window=args.attn_window)
     else:
+        if args.attn_window is not None:
+            parser.error("--attn_window is llama-only in this demo")
         net = build_tiny_lm(vocab=V, seq_len=T, dim=64, heads=4, depth=2,
                             remat=args.remat)
     model = Model(net, SoftmaxCrossEntropyLoss(), Adam(args.lr))
