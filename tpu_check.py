@@ -184,6 +184,79 @@ def check_flash_dropout_hw(results):
               % (tag, fwd_err, ["%.2e" % e for e in bwd_errs]))
 
 
+def check_llama_window_hw(results):
+    """Final round-5 check: native GQA and sliding-window attention on
+    the real chip.
+
+    GQA: mha_fwd/mha_bwd with K/V at Hkv < H heads (grouped kernel calls
+    against the shared K/V) must match the same kernels on repeated K/V —
+    hardware proof that the group/head index mapping survives Mosaic
+    compilation in both kernel regimes (t=1024 whole-plane, t=2048
+    gridded). Window: banded Pallas vs banded XLA parity (fwd + all three
+    grads — exercises the two-sided tile skip + DMA clamps on real
+    hardware), plus band-effect sanity (window != full causal)."""
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.ops import attention
+
+    rng = np.random.RandomState(1)
+    for (b, h, hkv, t, d) in ((2, 8, 2, 1024, 64), (1, 8, 4, 2048, 64)):
+        tag = "t%d" % t
+        tol = 2e-3 * np.sqrt(t / 128.0)
+        q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, hkv, t, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, hkv, t, d).astype(np.float32))
+        do = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+
+        # --- GQA: grouped kernels vs repeated-KV kernels ---------------
+        o_g, lse_g = attention.mha_fwd(q, k, v, causal=True, impl="pallas")
+        krep = jnp.repeat(k, h // hkv, axis=1)
+        vrep = jnp.repeat(v, h // hkv, axis=1)
+        o_r, lse_r = attention.mha_fwd(q, krep, vrep, causal=True,
+                                       impl="pallas")
+        gqa_err = float(jnp.max(jnp.abs(o_g - o_r)))
+        assert gqa_err < tol, (tag, gqa_err)
+        dg = attention.mha_bwd(q, k, v, o_g, lse_g, do, causal=True,
+                               impl="pallas")
+        dr = attention.mha_bwd(q, krep, vrep, o_r, lse_r, do, causal=True,
+                               impl="pallas")
+        group = h // hkv
+        dk_want = dr[1].reshape(b, hkv, group, t, d).sum(2)
+        dv_want = dr[2].reshape(b, hkv, group, t, d).sum(2)
+        gscale = max(float(jnp.max(jnp.abs(x))) for x in dr)
+        gqa_bwd = max(float(jnp.max(jnp.abs(dg[0] - dr[0]))),
+                      float(jnp.max(jnp.abs(dg[1] - dk_want))),
+                      float(jnp.max(jnp.abs(dg[2] - dv_want))))
+        assert gqa_bwd < 5 * tol * max(1.0, gscale), (tag, gqa_bwd)
+
+        # --- sliding window: banded kernels vs banded fallback ---------
+        w = t // 4
+        kw = dict(causal=True, window=w)
+        ow_p, lw_p = attention.mha_fwd(q, k, v, impl="pallas", **kw)
+        ow_x, lw_x = attention.mha_fwd(q, k, v, impl="xla", **kw)
+        win_err = float(jnp.max(jnp.abs(ow_p - ow_x)))
+        assert win_err < tol, (tag, win_err)
+        gw_p = attention.mha_bwd(q, k, v, ow_p, lw_p, do, impl="pallas",
+                                 **kw)
+        gw_x = attention.mha_bwd(q, k, v, ow_x, lw_x, do, impl="xla", **kw)
+        win_bwd = max(float(jnp.max(jnp.abs(a - b_)))
+                      for a, b_ in zip(gw_p, gw_x))
+        wscale = max(float(jnp.max(jnp.abs(x))) for x in gw_x)
+        assert win_bwd < 5 * tol * max(1.0, wscale), (tag, win_bwd)
+        band_effect = float(jnp.max(jnp.abs(ow_p - o_g)))
+        assert band_effect > 1e-2, (tag, band_effect)
+
+        results["llama_window_" + tag] = {
+            "gqa_fwd_err_vs_repeated_kv": round(gqa_err, 6),
+            "gqa_bwd_err_vs_repeated_kv": round(gqa_bwd, 6),
+            "window_fwd_err_vs_xla": round(win_err, 6),
+            "window_bwd_err_vs_xla": round(win_bwd, 6),
+            "band_effect": round(band_effect, 4),
+        }
+        print("llama/window %s: gqa %.2e/%.2e, window %.2e/%.2e (ok)"
+              % (tag, gqa_err, gqa_bwd, win_err, win_bwd))
+
+
 def check_remat_accum_hw(results):
     """Round-5 check: activation rematerialization + gradient accumulation
     on the real chip.
@@ -333,6 +406,7 @@ def main():
     check_pltpu_dropout_stats(results)
     check_megakernel_dropout_e2e(results)
     check_flash_dropout_hw(results)
+    check_llama_window_hw(results)
     check_remat_accum_hw(results)
     check_recurrent_kernels_hw(results)
 
