@@ -200,7 +200,7 @@ def _cnn_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
 
 
 def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr,
-                              dropout=0.0, attn_dropout=0.0):
+                              dropout=0.0, attn_dropout=0.0, window=None):
     """EXTERNAL floor oracle for the transformer config: a hand-written
     pure-JAX (jax.grad) training step of the SAME model — weights copied
     from the net, same shuffle/scan/one-dispatch amortization, same Adam
@@ -270,9 +270,10 @@ def _transformer_oracle_rates(net, x_all, y_all, batch, n_epochs, lr,
             q, k, v = sh(xn @ bp["wq"]), sh(xn @ bp["wk"]), sh(xn @ bp["wv"])
             s = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(hd)
             if causal:
-                s = s + jnp.where(
-                    jnp.asarray(np.tril(np.ones((t, t), np.float32))) == 1.0,
-                    0.0, -1e9)
+                m = np.tril(np.ones((t, t), np.bool_))
+                if window is not None:
+                    m &= ~np.tril(np.ones((t, t), np.bool_), -window)
+                s = s + jnp.where(jnp.asarray(m), 0.0, -1e9)
             att = jax.nn.softmax(s, axis=-1)
             if attn_dropout > 0.0:
                 att = drop(att, attn_dropout, k0)
@@ -518,6 +519,44 @@ def bench_llama():
     emit("llama_seq1024_gqa_jaxgrad_oracle_steps_per_sec", oracle_rates)
 
 
+def bench_transformer_long_window():
+    """Config 6d (round-5 final wave): config 6b WITH sliding-window
+    attention (window 512 over seq 2048) — the gridded flash kernels skip
+    the compute AND DMA of tiles outside the band (O(T*window)), while
+    the jax.grad oracle computes the full [T, T] scores and masks the
+    band (XLA has no skip to exploit at these shapes). Same-run oracle of
+    the identical (banded) function."""
+    from tinynn_autograd_tpu.models import build_tiny_transformer
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn import optimizer as opt
+    from tinynn_autograd_tpu.utils.datasets import one_hot
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    vocab, seq, dim, heads, depth, nout = 256, 2048, 512, 8, 2, 16
+    window = 512
+    batch, n_epochs, n_train = 4, 4, 256
+    rng = np.random.RandomState(0)
+    tx = rng.randint(0, vocab, (n_train, seq))
+    ty = one_hot(rng.randint(0, nout, n_train), nout)
+
+    random_seed(0)
+    net = build_tiny_transformer(vocab=vocab, seq_len=seq, dim=dim,
+                                 heads=heads, depth=depth, num_out=nout,
+                                 causal=True, attn_window=window)
+    m = Model(net, SoftmaxCrossEntropyLoss(), opt.Adam(1e-3))
+    x_dev, y_dev = m.stage(tx, ty)
+    rates = _time_epochs(m, x_dev, y_dev, batch, n_epochs, n_train // batch)
+
+    oracle_rates = _transformer_oracle_rates(net, tx, ty, batch, n_epochs,
+                                             lr=1e-3, window=window)
+    floor_us = 1e6 / statistics.median(oracle_rates)
+    emit("transformer_seq2048_window512_train_steps_per_sec", rates,
+         floor_us=round(floor_us, 1))
+    emit("transformer_seq2048_window512_jaxgrad_oracle_steps_per_sec",
+         oracle_rates)
+
+
 def _rnn_oracle_rates(net, x_all, y_all, batch, n_epochs, lr):
     """EXTERNAL floor oracle for the recurrent config: a hand-written
     pure-JAX (jax.grad through lax.scan) training step of the SAME stacked
@@ -760,6 +799,9 @@ def main():
     # 6c. long-context WITH dropout (in-kernel hash-mask replay vs a
     # bernoulli-mask jax.grad oracle)
     bench_transformer_long_dropout()
+
+    # 6d. long-context with SLIDING-WINDOW attention (banded tile skip)
+    bench_transformer_long_window()
 
     # 8. recurrent family (scanned tier) + same-run jax.grad floor oracle
     bench_rnn()
