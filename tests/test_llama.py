@@ -644,3 +644,56 @@ def test_beam_eos_freezes_finished_beams():
     np.testing.assert_array_equal(out[0], [2, 3, 4, 5, 5, 5, 5])
     plain = np.asarray(generate_beam(net, prompt, 5, beam_width=3))
     np.testing.assert_array_equal(out[1], plain[1])
+
+
+def test_generate_compiled_program_is_cached():
+    """Repeated generate() calls with the same net shape reuse ONE
+    compiled program (the per-call @jax.jit closure recompiled every
+    invocation — review finding); training further and regenerating also
+    reuses it (params are call-time args)."""
+    from tinynn_autograd_tpu.models import generate as gen_mod
+    from tinynn_autograd_tpu.models.generate import _decode_fn
+
+    _decode_fn.cache_clear()
+    random_seed(111)
+    net = build_tiny_llama(vocab=9, dim=16, heads=4, kv_heads=2, depth=1)
+    net.init((2, 4))
+    prompt = np.array([[1, 2], [3, 4]], np.int64)
+    generate(net, prompt, 3)
+    info1 = _decode_fn.cache_info()
+    generate(net, prompt, 3)
+    info2 = _decode_fn.cache_info()
+    assert info2.hits == info1.hits + 1
+    # mutate params (as further training would) — same cached program
+    for kname, t in net.layers[1].params.items():
+        net.layers[1].params[kname] = type(t)(
+            np.asarray(t.data) * 1.01, requires_grad=True)
+    out = generate(net, prompt, 3)
+    assert _decode_fn.cache_info().hits == info2.hits + 1
+    assert out.shape == (2, 5)
+
+
+def test_generate_heterogeneous_per_block_windows():
+    """Blocks with DIFFERENT attn_window values (interleaved local/global
+    attention) must decode token-for-token with the full forward — the
+    pre-fix extractor kept only the LAST block's window."""
+    from tinynn_autograd_tpu.nn.layers import (
+        Dense, Embedding, LlamaBlock, RMSNorm,
+    )
+    from tinynn_autograd_tpu.nn.net import Net
+
+    random_seed(112)
+    net = Net([Embedding(11, 16),
+               LlamaBlock(16, 4, num_kv_heads=2, attn_window=3),
+               LlamaBlock(16, 4, num_kv_heads=2, attn_window=None),
+               RMSNorm(16), Dense(11, num_in=16)])
+    net.init((2, 6))
+    rng = np.random.RandomState(2)
+    prompt = rng.randint(0, 11, (2, 5))
+    out = np.asarray(generate(net, prompt, 6))
+    ids = prompt.copy()
+    for _ in range(6):
+        logits = net.forward(Tensor(jnp.asarray(ids))).data
+        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
+        ids = np.concatenate([ids, nxt[:, None].astype(ids.dtype)], axis=1)
+    np.testing.assert_array_equal(out, ids)

@@ -16,6 +16,8 @@ against repeated full ``net.forward`` argmax. No reference counterpart
 (the reference has no sequence models or serving path).
 """
 
+import functools
+
 import numpy as np
 
 import jax
@@ -50,7 +52,8 @@ def _extract(net):
     Embedding, PositionalEmbedding, TransformerBlock*, Dense head."""
     emb = pos = head = None
     blocks = []
-    heads = eps = window = None
+    windows = []
+    heads = eps = None
     for layer in net.layers:
         if isinstance(layer, Remat):
             # training-only wrapper; decode reads the inner layer
@@ -65,7 +68,7 @@ def _extract(net):
                     "generate() needs causal TransformerBlocks (an acausal "
                     "block's output at position t depends on the future)")
             heads, eps = layer.num_heads, layer.eps
-            window = layer.attn_window
+            windows.append(layer.attn_window)
             blocks.append({k: v.data for k, v in layer.params.items()})
         elif isinstance(layer, Dense):
             head = {k: v.data for k, v in layer.params.items()}
@@ -75,7 +78,7 @@ def _extract(net):
     if emb is None or pos is None or head is None or not blocks:
         raise ValueError("net is not a causal LM "
                          "(Embedding + PositionalEmbedding + blocks + head)")
-    return emb, pos, blocks, head, heads, eps, window
+    return emb, pos, blocks, head, heads, eps, tuple(windows)
 
 
 def _extract_llama(net):
@@ -83,6 +86,7 @@ def _extract_llama(net):
     Embedding, LlamaBlock*, RMSNorm, Dense head."""
     emb = head = norm = None
     blocks = []
+    windows = []
     meta = None
     for layer in net.layers:
         if isinstance(layer, Remat):
@@ -93,7 +97,8 @@ def _extract_llama(net):
             if not layer.causal:
                 raise ValueError("generate() needs causal LlamaBlocks")
             meta = (layer.num_heads, layer.num_kv_heads, layer.head_dim,
-                    layer.eps, layer.rope_base, layer.attn_window)
+                    layer.eps, layer.rope_base)
+            windows.append(layer.attn_window)
             blocks.append({k: v.data for k, v in layer.params.items()})
         elif isinstance(layer, RMSNorm):
             norm = layer.params["g"].data
@@ -105,7 +110,7 @@ def _extract_llama(net):
     if emb is None or head is None or norm is None or not blocks:
         raise ValueError("net is not a llama-family LM "
                          "(Embedding + LlamaBlocks + RMSNorm + head)")
-    return emb, blocks, norm, head, meta
+    return emb, blocks, norm, head, meta, tuple(windows)
 
 
 def _rope_one(x, t, base):
@@ -143,7 +148,7 @@ def _banded_tril(t0, window):
 
 
 def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max,
-                     window=None):
+                     windows):
     """Batched prefill — the serving-standard prefill/decode split: ONE
     fused forward over the whole prompt [B, T0] computes every block's
     K/V for all prompt positions (written into the static-size caches)
@@ -153,9 +158,9 @@ def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max,
     d = emb.shape[1]
     hd = d // heads
     x = emb[prompt] + pos[:, :t0]
-    mask = _banded_tril(t0, window)
     caches = []
-    for bp in blocks:
+    for bp, window in zip(blocks, windows):
+        mask = _banded_tril(t0, window)
         xn = _ln(x, bp["g1"], bp["be1"], eps)
         q = (xn @ bp["wq"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
         k = (xn @ bp["wk"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
@@ -175,16 +180,16 @@ def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max,
 
 
 def _prefill_llama(blocks, emb, normg, head, hkv, group, hd, eps, base,
-                   prompt, t_max, window=None):
+                   prompt, t_max, windows):
     """Batched llama prefill: one fused pass filling the GQA caches
     (held at Hkv heads) for all prompt positions."""
     b, t0 = prompt.shape
     d = emb.shape[1]
     h = hkv * group
     x = emb[prompt]
-    mask = _banded_tril(t0, window)
     caches = []
-    for bp in blocks:
+    for bp, window in zip(blocks, windows):
+        mask = _banded_tril(t0, window)
         xn = _rms(x, bp["g1"], eps)
         q = (xn @ bp["wq"]).reshape(b, t0, h, hd).transpose(0, 2, 1, 3)
         k = (xn @ bp["wk"]).reshape(b, t0, hkv, hd).transpose(0, 2, 1, 3)
@@ -288,88 +293,71 @@ def _filter_logits(logits, top_k, top_p):
     return logits
 
 
-def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
-             top_k=None, top_p=None, eos_id=None):
-    """Decode ``n_new`` tokens after ``prompt_ids`` [B, T0] (int ids).
-
-    Supports both causal-LM families: build_tiny_lm nets (learned
-    positions, full-head KV caches) and build_tiny_llama nets (RoPE
-    positions, GQA caches held at ``num_kv_heads`` heads).
-
-    ``temperature=0`` is greedy argmax; otherwise softmax sampling at the
-    given temperature with ``rng`` (a jax PRNG key; required), optionally
-    truncated by ``top_k`` (keep the k best logits) and/or ``top_p``
-    (nucleus sampling: keep the smallest set reaching cumulative
-    probability p) — filters apply after the temperature division, in the
-    standard order. Returns int32 [B, T0 + n_new] — the prompt with the
-    generated continuation. For build_tiny_lm nets the position space is
-    bounded by the PositionalEmbedding length; llama nets have no table
-    bound (positions live in the rotary phases).
-
-    ``eos_id``: once a row emits this token every later position in that
-    row repeats it (the standard early-stop protocol under static
-    shapes — the scan length stays n_new; finished rows' steps still run
-    but their draws are frozen to eos).
-    """
-    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
-    b, t0 = prompt_ids.shape
-    if temperature and rng is None:
-        raise ValueError("sampling (temperature > 0) needs rng=PRNGKey")
-
-    is_llama = any(isinstance(getattr(lyr, "inner", lyr), LlamaBlock)
-                   for lyr in net.layers)
-    if is_llama:
-        emb, blocks, normg, head, (h, hkv, hd, eps, base, window) = \
-            _extract_llama(net)
-        t_max = t0 + n_new
-        group = h // hkv
-    else:
-        emb, pos, blocks, head, heads, eps, window = _extract(net)
-        t_max = pos.shape[1]
-        if t0 + n_new > t_max:
-            raise ValueError(
-                "prompt (%d) + n_new (%d) exceeds the positional-embedding "
-                "length (%d)" % (t0, n_new, t_max))
-    n_blocks = len(blocks)
+def _make_token_logits(cfg, params):
+    """Single-token step closure over a STATIC config + call-time param
+    pytree (shared by the cached decode/beam runners)."""
+    (family, b_eff, t0, n_new, t_max, n_blocks, windows, fam) = cfg[:8]
+    emb, head, blocks = params["emb"], params["head"], params["blocks"]
 
     def token_logits(tok, t, caches):
-        """Feed token ids [B] at position t through all blocks."""
         new_caches = []
-        if is_llama:
+        if family == "llama":
+            hkv, group, hd, eps, base = fam
             x = emb[tok]
             for l in range(n_blocks):
                 ck, cv = caches[l]
                 x, ck, cv = _llama_block_step(
                     blocks[l], x, ck, cv, t, hkv, group, hd, eps, base,
-                    window)
+                    windows[l])
                 new_caches.append((ck, cv))
-            return _rms(x, normg, eps) @ head["w"] + head["b"], new_caches
-        x = emb[tok] + pos[0, t]
+            return (_rms(x, params["norm"], eps) @ head["w"] + head["b"],
+                    new_caches)
+        heads, eps = fam
+        x = emb[tok] + params["pos"][0, t]
         for l in range(n_blocks):
             ck, cv = caches[l]
             x, ck, cv = _block_step(blocks[l], x, ck, cv, t, heads, eps,
-                                    t_max, window)
+                                    t_max, windows[l])
             new_caches.append((ck, cv))
         return x @ head["w"] + head["b"], new_caches
+
+    return token_logits
+
+
+def _run_prefill(cfg, params, prompt):
+    (family, b_eff, t0, n_new, t_max, n_blocks, windows, fam) = cfg[:8]
+    if family == "llama":
+        hkv, group, hd, eps, base = fam
+        return _prefill_llama(
+            params["blocks"], params["emb"], params["norm"],
+            params["head"], hkv, group, hd, eps, base, prompt, t_max,
+            windows)
+    heads, eps = fam
+    return _prefill_classic(
+        params["blocks"], params["emb"], params["pos"], params["head"],
+        heads, eps, prompt, t_max, windows)
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_fn(cfg, temperature, top_k, top_p, eos_id):
+    """Build + jit the batched-prefill + decode-scan program ONCE per
+    static config. Parameters, prompt, and the PRNG key are CALL-TIME
+    arguments, so repeated generate() calls on the same net shape reuse
+    the compiled program (the per-call @jax.jit closure this replaces
+    recompiled on every invocation — ~30-40s each through the TPU
+    tunnel)."""
+    b, t0, n_new = cfg[1], cfg[2], cfg[3]
 
     def pick(logits, key):
         if not temperature:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         logits = _filter_logits(logits / temperature, top_k, top_p)
-        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits, axis=-1).astype(
+            jnp.int32)
 
-    @jax.jit
-    def run(prompt, key):
-        # batched prefill: ONE fused forward over the whole prompt fills
-        # every cache and yields the last position's logits (the serving
-        # prefill/decode split — O(1) dispatches instead of T0 steps)
-        if is_llama:
-            logits, caches = _prefill_llama(
-                blocks, emb, normg, head, hkv, group, hd, eps, base,
-                prompt, t_max, window)
-        else:
-            logits, caches = _prefill_classic(
-                blocks, emb, pos, head, heads, eps, prompt, t_max, window)
+    def run(params, prompt, key):
+        token_logits = _make_token_logits(cfg, params)
+        logits, caches = _run_prefill(cfg, params, prompt)
 
         def decode_body(carry, i):
             caches, logits, key, done = carry
@@ -381,91 +369,92 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
             new_logits, caches = token_logits(tok, t0 + i, caches)
             return (caches, new_logits, key, done), tok
 
-        key = key if key is not None else jax.random.PRNGKey(0)
         done0 = jnp.zeros((b,), bool)
         (_, _, _, _), toks = jax.lax.scan(
             decode_body, (caches, logits, key, done0), jnp.arange(n_new))
         return toks.T  # [B, n_new]
 
-    toks = run(prompt_ids, rng)
-    return jnp.concatenate([prompt_ids, toks], axis=1)
+    return jax.jit(run)
 
 
-def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
-    """Fixed-length beam-search decode: returns int32 [B, T0 + n_new] —
-    for each prompt row, the continuation with the highest total
-    log-probability among ``beam_width`` beams.
-
-    Both LM families (classic and llama) are supported, with the same
-    batched prefill and KV caches as generate(); the beams share one
-    cache tensor tiled to [B*W, ...] and REORDERED by parent beam at
-    every step (a gather on the batch axis — the standard cache-reorder
-    scheme). The whole search (prefill + n_new steps) is one jitted scan,
-    i.e. one device dispatch.
-
-    ``eos_id``: a beam that emits this token is FINISHED — its score
-    freezes (later steps admit only an eos continuation at log-prob 0)
-    and its tail fills with eos; unfinished beams keep competing. Without
-    it, sequences are scored at the full fixed length.
-    """
-    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
-    b, t0 = prompt_ids.shape
-    w = int(beam_width)
-    if w < 1:
-        raise ValueError("beam_width must be >= 1, got %d" % w)
-    n_vocab = None
-    for lyr in net.layers:
-        if isinstance(lyr, Dense):
-            n_vocab = lyr.shapes["w"][1]
-    if n_vocab is not None and w > n_vocab:
-        raise ValueError("beam_width %d exceeds the vocab size %d"
-                         % (w, n_vocab))
-
+def _extract_any(net, b, t0, n_new):
+    """Shared front half of generate/generate_beam: pull params + build
+    the hashable static config."""
     is_llama = any(isinstance(getattr(lyr, "inner", lyr), LlamaBlock)
                    for lyr in net.layers)
     if is_llama:
-        emb, blocks, normg, head, (h, hkv, hd, eps, base, window) = \
-            _extract_llama(net)
+        emb, blocks, normg, head, meta, windows = _extract_llama(net)
+        h, hkv, hd, eps, base = meta
         t_max = t0 + n_new
-        group = h // hkv
+        fam = (hkv, h // hkv, hd, float(eps), float(base))
+        params = {"emb": emb, "norm": normg, "head": head,
+                  "blocks": blocks}
+        cfg = ("llama", b, t0, int(n_new), t_max, len(blocks), windows,
+               fam)
     else:
-        emb, pos, blocks, head, heads, eps, window = _extract(net)
+        emb, pos, blocks, head, heads, eps, windows = _extract(net)
         t_max = pos.shape[1]
         if t0 + n_new > t_max:
             raise ValueError(
                 "prompt (%d) + n_new (%d) exceeds the positional-embedding "
                 "length (%d)" % (t0, n_new, t_max))
-    n_blocks = len(blocks)
+        fam = (heads, float(eps))
+        params = {"emb": emb, "pos": pos, "head": head, "blocks": blocks}
+        cfg = ("classic", b, t0, int(n_new), t_max, len(blocks), windows,
+               fam)
+    return cfg, params
 
-    def token_logits(tok, t, caches):
-        """tok [B*W] at position t through all blocks (beam-tiled batch)."""
-        new_caches = []
-        if is_llama:
-            x = emb[tok]
-            for l in range(n_blocks):
-                ck, cv = caches[l]
-                x, ck, cv = _llama_block_step(
-                    blocks[l], x, ck, cv, t, hkv, group, hd, eps, base,
-                    window)
-                new_caches.append((ck, cv))
-            return _rms(x, normg, eps) @ head["w"] + head["b"], new_caches
-        x = emb[tok] + pos[0, t]
-        for l in range(n_blocks):
-            ck, cv = caches[l]
-            x, ck, cv = _block_step(blocks[l], x, ck, cv, t, heads, eps,
-                                    t_max, window)
-            new_caches.append((ck, cv))
-        return x @ head["w"] + head["b"], new_caches
 
-    @jax.jit
-    def run(prompt):
-        if is_llama:
-            logits, caches = _prefill_llama(
-                blocks, emb, normg, head, hkv, group, hd, eps, base,
-                prompt, t_max, window)
-        else:
-            logits, caches = _prefill_classic(
-                blocks, emb, pos, head, heads, eps, prompt, t_max, window)
+def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
+             top_k=None, top_p=None, eos_id=None):
+    """Decode ``n_new`` tokens after ``prompt_ids`` [B, T0] (int ids).
+
+    Supports both causal-LM families: build_tiny_lm nets (learned
+    positions, full-head KV caches) and build_tiny_llama nets (RoPE
+    positions, GQA caches held at ``num_kv_heads`` heads). Sliding-window
+    blocks mask their visible cache range PER BLOCK (heterogeneous
+    local/global stacks decode correctly).
+
+    ``temperature=0`` is greedy argmax; otherwise softmax sampling at the
+    given temperature with ``rng`` (a jax PRNG key; required), optionally
+    truncated by ``top_k`` (keep the k best logits) and/or ``top_p``
+    (nucleus sampling: keep the smallest set reaching cumulative
+    probability p) — filters apply after the temperature division, in the
+    standard order. Returns int32 [B, T0 + n_new] — the prompt with the
+    generated continuation.
+
+    ``eos_id``: once a row emits this token every later position in that
+    row repeats it (the standard early-stop protocol under static
+    shapes).
+
+    The compiled program is CACHED per (net architecture, shapes,
+    sampling config): repeated calls pay one dispatch, not a recompile;
+    parameter values are call-time arguments, so generating from a net
+    that trained further reuses the same program.
+    """
+    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
+    b, t0 = prompt_ids.shape
+    if temperature and rng is None:
+        raise ValueError("sampling (temperature > 0) needs rng=PRNGKey")
+    cfg, params = _extract_any(net, b, t0, n_new)
+    fn = _decode_fn(cfg, float(temperature),
+                    None if top_k is None else int(top_k),
+                    None if top_p is None else float(top_p),
+                    None if eos_id is None else int(eos_id))
+    key = rng if rng is not None else jax.random.PRNGKey(0)
+    toks = fn(params, prompt_ids, key)
+    return jnp.concatenate([prompt_ids, toks], axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def _beam_fn(cfg, w, eos_id):
+    """Build + jit the beam-search program once per static config (same
+    caching contract as _decode_fn)."""
+    b, t0, n_new = cfg[1], cfg[2], cfg[3]
+
+    def run(params, prompt):
+        token_logits = _make_token_logits(cfg, params)
+        logits, caches = _run_prefill(cfg, params, prompt)
         vocab = logits.shape[-1]
 
         # seed the beams from the prompt's next-token distribution: the
@@ -508,14 +497,49 @@ def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
                 done = done | (tok == jnp.int32(eos_id))
             return (caches, scores, hist, tok, done), ()
 
-        hist = hist0
+        hist, scores_out = hist0, scores
         if n_new > 1:
-            (caches, scores, hist, _, _), _ = jax.lax.scan(
+            (caches, scores_out, hist, _, _), _ = jax.lax.scan(
                 step, (caches, scores, hist0, tok0, done0),
                 jnp.arange(n_new - 1))
-        best = jnp.argmax(scores, axis=-1)                 # [B]
+        best = jnp.argmax(scores_out, axis=-1)             # [B]
         return jnp.take_along_axis(
-            hist, best[:, None, None], axis=1)[:, 0], scores
+            hist, best[:, None, None], axis=1)[:, 0]
 
-    toks, _scores = run(prompt_ids)
+    return jax.jit(run)
+
+
+def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
+    """Fixed-length beam-search decode: returns int32 [B, T0 + n_new] —
+    for each prompt row, the continuation with the highest total
+    log-probability among ``beam_width`` beams.
+
+    Both LM families (classic and llama) are supported, with the same
+    batched prefill and KV caches as generate(); the beams share one
+    cache tensor tiled to [B*W, ...] and REORDERED by parent beam at
+    every step (a gather on the batch axis — the standard cache-reorder
+    scheme). The whole search (prefill + n_new steps) is one jitted scan,
+    one device dispatch, and the compiled program is cached per static
+    config like generate().
+
+    ``eos_id``: a beam that emits this token is FINISHED — its score
+    freezes (later steps admit only an eos continuation at log-prob 0)
+    and its tail fills with eos; unfinished beams keep competing. Without
+    it, sequences are scored at the full fixed length.
+    """
+    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
+    b, t0 = prompt_ids.shape
+    w = int(beam_width)
+    if w < 1:
+        raise ValueError("beam_width must be >= 1, got %d" % w)
+    n_vocab = None
+    for lyr in net.layers:
+        if isinstance(lyr, Dense):
+            n_vocab = lyr.shapes["w"][1]
+    if n_vocab is not None and w > n_vocab:
+        raise ValueError("beam_width %d exceeds the vocab size %d"
+                         % (w, n_vocab))
+    cfg, params = _extract_any(net, b, t0, n_new)
+    fn = _beam_fn(cfg, w, None if eos_id is None else int(eos_id))
+    toks = fn(params, prompt_ids)
     return jnp.concatenate([prompt_ids, toks], axis=1)
