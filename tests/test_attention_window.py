@@ -342,3 +342,26 @@ def test_windowed_llama_generate_matches_full_forward():
         nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
         ids = np.concatenate([ids, nxt[:, None].astype(ids.dtype)], axis=1)
     np.testing.assert_array_equal(out, ids)
+
+
+def test_band_backward_window_interpret_matches_xla(monkeypatch):
+    """The BANDED backward kernels' window masks (_dq_kernel_band /
+    _dkv_kernel_band): unreachable at CPU-testable lengths by default
+    (causal bands engage only at t >= _BAND_BWD_CAUSAL_MIN_T = 4096), so
+    lower the threshold — a mask bug here would otherwise ship past CI
+    as silent wrong gradients in t>=4096 causal-window training."""
+    monkeypatch.setattr(attention, "_SINGLE_MAX_T", 0)
+    monkeypatch.setattr(attention, "_BAND_BWD_CAUSAL_MIN_T", 0)
+    t, window = 512, 200
+    q, k, v = _qkv(b=1, h=2, t=t, d=8, seed=16)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    kw = dict(causal=True, scale=0.3, window=window)
+    o_x, lse_x = attention.mha_fwd(*args, impl="xla", **kw)
+    do = jnp.asarray(
+        np.random.RandomState(17).randn(*q.shape).astype(np.float32))
+    grads_x = attention.mha_bwd(*args, o_x, lse_x, do, impl="xla", **kw)
+    grads_p = attention.mha_bwd(*args, o_x, lse_x, do,
+                                impl="pallas_interpret", **kw)
+    for gx, gp in zip(grads_x, grads_p):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5)

@@ -141,10 +141,9 @@ def _rope_batch(x, base):
 
 
 def _banded_tril(t0, window):
-    m = jnp.tril(jnp.ones((t0, t0), bool))
-    if window is not None:
-        m &= ~jnp.tril(jnp.ones((t0, t0), bool), -window)
-    return m
+    from tinynn_autograd_tpu.ops.attention import band_mask
+
+    return jnp.asarray(band_mask(t0, window))
 
 
 def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max,

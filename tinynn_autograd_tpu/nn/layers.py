@@ -348,14 +348,11 @@ class TransformerBlock(Layer):
     def _mask(self, t):
         import jax.numpy as jnp
 
+        from tinynn_autograd_tpu.ops.attention import band_mask
+
         if not self.causal:
             return None
-        m = np.tril(np.ones((t, t), np.bool_))
-        w = self.attn_window
-        if w is not None and w < t:
-            # sliding window: position p sees keys in (p - w, p]
-            m &= ~np.tril(np.ones((t, t), np.bool_), -w)
-        return jnp.where(m, 0.0, -1e9)
+        return jnp.where(band_mask(t, self.attn_window), 0.0, -1e9)
 
     def forward(self, inputs):
         p = self.params

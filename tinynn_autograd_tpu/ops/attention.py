@@ -87,6 +87,9 @@ def _pick_block(t):
 # 16 MB). _SINGLE_MAX_T caps eligibility to the measured territory.
 _SINGLE_MAX_T = int(os.environ.get("TINYNN_TPU_ATTN_SINGLE_MAX_T", "1024"))
 _SINGLE_VMEM_BUDGET = 14 * 1024 * 1024
+# causal banded-backward crossover (BENCHMARKS round-5: the gridded
+# kernels' causal tile skip beats the band form at t=2048, flips at 4096)
+_BAND_BWD_CAUSAL_MIN_T = 4096
 
 
 def _single_plane_ok(tq, tk, d, n_streams):
@@ -134,6 +137,18 @@ def _pick_head_batch(bh, bq, bk, d, n_streams=6):
     while bh % g:
         g -= 1
     return g
+
+
+def band_mask(t, window):
+    """Static [t, t] boolean visibility mask: causal, optionally banded
+    to the sliding window (position p sees keys in (p - window, p]).
+    THE shared band-mask builder — the XLA fallbacks, the layers' tape
+    masks, and the decode prefill all use it, so the window semantics
+    cannot desynchronize between training, fallback, and serving."""
+    m = np.tril(np.ones((t, t), np.bool_))
+    if window is not None and window < t:
+        m &= ~np.tril(np.ones((t, t), np.bool_), -int(window))
+    return m
 
 
 def _causal_mask(rows0, cols0, g, nrow, ncol):
@@ -738,7 +753,7 @@ def _bwd_pallas(q, kt, k, vt, v, qt, dot_, do, lse, lse_r, delta, delta_r,
     bq_band = _pick_band_rows(tq, tk, d, n_streams=4)
     bk_band = _pick_band_rows(tk, tq, d, n_streams=5)
     if bq_band is not None and bk_band is not None and (
-            not causal or max(tq, tk) >= 4096):
+            not causal or max(tq, tk) >= _BAND_BWD_CAUSAL_MIN_T):
         # plane doesn't fit but bands do: direct-form banded backward.
         # Measured routing (BAND probes, b2h8 d64): non-causal t=2048
         # band wins 1.26x over gridded; CAUSAL t=2048 band LOSES 0.93x
@@ -875,11 +890,7 @@ def _fwd_xla(q, k, v, scale, causal, dropout=0.0, seed=None, window=None):
     s = jnp.einsum("bqd,bkd->bqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     if causal:
-        t = q.shape[1]
-        mask = np.tril(np.ones((t, t), np.bool_))
-        if window is not None:
-            mask &= ~np.tril(np.ones((t, t), np.bool_), -window)
-        s = jnp.where(mask, s, _NEG_INF)
+        s = jnp.where(band_mask(q.shape[1], window), s, _NEG_INF)
     m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=2, keepdims=True)
@@ -897,11 +908,7 @@ def _bwd_xla(q, k, v, do, lse, delta, scale, causal, dropout=0.0,
     s = jnp.einsum("bqd,bkd->bqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     if causal:
-        t = q.shape[1]
-        mask = np.tril(np.ones((t, t), np.bool_))
-        if window is not None:
-            mask &= ~np.tril(np.ones((t, t), np.bool_), -window)
-        s = jnp.where(mask, s, _NEG_INF)
+        s = jnp.where(band_mask(q.shape[1], window), s, _NEG_INF)
     p = jnp.exp(s - lse)
     dp = jnp.einsum("bqd,bkd->bqk", do, v,
                     preferred_element_type=jnp.float32)
