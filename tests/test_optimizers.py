@@ -269,3 +269,57 @@ def test_adam_bf16_sr_converges_with_fused_step():
     losses = [float(m.train_step(x, y)) for _ in range(40)]
     assert losses[-1] < losses[0] * 0.3
     assert m._opt_state["slots"]["v"][0]["w"].dtype == jnp.bfloat16
+
+
+def test_lion_matches_numpy_twin():
+    """Lion (sign momentum) vs a hand-stepped numpy twin over 5 steps."""
+    from tinynn_autograd_tpu.nn.optimizer import Lion
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(4, 3).astype(np.float32)
+    opt = Lion(lr=0.01, beta1=0.9, beta2=0.99)
+    params = [{"w": Tensor(w.copy(), requires_grad=True)}]
+    m = np.zeros_like(w)
+    w_ref = w.copy()
+    for step in range(5):
+        g = rng.randn(4, 3).astype(np.float32)
+        grads = [{"w": g}]
+        steps = opt.compute_step(grads, params)
+        for k in ("w",):
+            params[0][k] += steps[0][k]
+        u = np.sign(0.9 * m + 0.1 * g)
+        m = 0.99 * m + 0.01 * g
+        w_ref -= 0.01 * u
+        np.testing.assert_allclose(np.asarray(params[0]["w"].data), w_ref,
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_lion_trains_through_all_tiers():
+    """Lion's single-slot sign rule runs in the fused step AND the
+    interpret-mode megakernel epoch (generic _step_leaf contract)."""
+    import jax.numpy as jnp
+
+    from tinynn_autograd_tpu.models import build_mnist_mlp
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn.optimizer import Lion
+    from tinynn_autograd_tpu.utils.seeder import random_seed
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 784).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[rng.randint(0, 10, 64)]
+
+    random_seed(7)
+    m = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(), Lion(3e-4))
+    first = float(m.train_step(x, y))
+    for _ in range(20):
+        last = float(m.train_step(x, y))
+    assert last < first, (first, last)
+
+    random_seed(7)
+    m2 = Model(build_mnist_mlp(), SoftmaxCrossEntropyLoss(), Lion(3e-4))
+    xd, yd = m2.stage(x, y)
+    losses = np.asarray(m2.train_epochs(xd, yd, n_epochs=3, batch_size=32,
+                                        fused=True))
+    assert np.isfinite(losses).all()
+    assert losses[-1, -1] < losses[0, 0]

@@ -268,6 +268,37 @@ class Adam(BaseOptimizer):
         return step, {"m": m, "v": v}
 
 
+class Lion(BaseOptimizer):
+    """Lion (EvoLved Sign Momentum, Chen et al. 2023): the update is the
+    SIGN of an interpolated momentum —
+      u = sign(b1 * m + (1 - b1) * g);  step = -lr * u;
+      m = b2 * m + (1 - b2) * g.
+    One state slot (half Adam's optimizer memory — and half its slot HBM
+    traffic on the weight-streaming path, where Adam's m/v streams ARE
+    the wall, BENCHMARKS.md), elementwise and powf-free, so it runs in
+    every execution tier including the VMEM megakernel and the streaming
+    kernels. Typical recipe: ~10x smaller lr and ~10x larger weight_decay
+    than Adam. ``weight_decay`` follows the framework-wide decoupled rule
+    (step -= weight_decay * p, applied by the base after the rule). TPU
+    addition — no reference counterpart (the reference zoo is
+    SGD..Adadelta, core/optimizer.py)."""
+
+    slot_names = ("m",)
+
+    def __init__(self, lr=1e-4, beta1=0.9, beta2=0.99, weight_decay=0.0,
+                 slot_dtype=None, stochastic_rounding=False,
+                 clip_norm=None):
+        super().__init__(lr, weight_decay, slot_dtype, stochastic_rounding,
+                         clip_norm)
+        self._b1 = beta1
+        self._b2 = beta2
+
+    def _step_leaf(self, g, lr, t, slots):
+        u = jnp.sign(self._b1 * slots["m"] + (1.0 - self._b1) * g)
+        m = self._b2 * slots["m"] + (1.0 - self._b2) * g
+        return -lr * u, {"m": m}
+
+
 class RMSProp(BaseOptimizer):
     """ms = decay*ms + (1-decay)*g^2;
     mom = momentum*mom + lr*g/sqrt(ms + eps); step = -mom
