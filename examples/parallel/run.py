@@ -35,6 +35,12 @@ def main():
     import numpy as np
     import jax
 
+    # same override as the other examples (the sim mesh needs no TPU —
+    # and a wedged tunnel would otherwise hang the backend init)
+    if os.environ.get("TINYNN_TPU_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["TINYNN_TPU_PLATFORM"])
+
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "..", ".."))
 
