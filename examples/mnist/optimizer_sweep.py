@@ -1,6 +1,6 @@
 """Optimizer zoo parity sweep on the MNIST MLP (driver config #2).
 
-Trains the flagship MLP with each of the six optimizers for a few epochs
+Trains the flagship MLP with each of the seven optimizers for a few epochs
 using the fused scanned-epoch path and reports final loss + test accuracy —
 the sweep the reference enables but never ships a driver for.
 
@@ -40,6 +40,8 @@ OPTIMIZERS = {
     "rmsprop": lambda lr: opt.RMSProp(lr=lr),
     "adagrad": lambda lr: opt.Adagrad(lr=lr * 3),   # slow starter: first steps are ±lr by construction
     "adadelta": lambda lr: opt.Adadelta(lr=1.0),
+    # Lion: sign updates want ~10x smaller lr than Adam (paper recipe)
+    "lion": lambda lr: opt.Lion(lr=lr * 0.1),
 }
 
 
