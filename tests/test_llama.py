@@ -697,3 +697,22 @@ def test_generate_heterogeneous_per_block_windows():
         nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
         ids = np.concatenate([ids, nxt[:, None].astype(ids.dtype)], axis=1)
     np.testing.assert_array_equal(out, ids)
+
+
+def test_generate_rejects_mixed_block_meta():
+    """Per-block heterogeneity is supported ONLY for attn_window; mixed
+    rope_base (or heads/eps) would silently decode with the last block's
+    meta — reject instead."""
+    from tinynn_autograd_tpu.nn.layers import (
+        Dense, Embedding, LlamaBlock, RMSNorm,
+    )
+    from tinynn_autograd_tpu.nn.net import Net
+
+    random_seed(113)
+    net = Net([Embedding(9, 16),
+               LlamaBlock(16, 4, num_kv_heads=2, rope_base=10000.0),
+               LlamaBlock(16, 4, num_kv_heads=2, rope_base=1e6),
+               RMSNorm(16), Dense(9, num_in=16)])
+    net.init((1, 4))
+    with pytest.raises(ValueError, match="UNIFORM"):
+        generate(net, np.zeros((1, 2), np.int64), 2)

@@ -67,6 +67,11 @@ def _extract(net):
                 raise ValueError(
                     "generate() needs causal TransformerBlocks (an acausal "
                     "block's output at position t depends on the future)")
+            if heads is not None and (heads, eps) != (layer.num_heads,
+                                                      layer.eps):
+                raise ValueError(
+                    "generate() needs blocks with UNIFORM heads/eps "
+                    "(only attn_window may vary per block)")
             heads, eps = layer.num_heads, layer.eps
             windows.append(layer.attn_window)
             blocks.append({k: v.data for k, v in layer.params.items()})
@@ -96,8 +101,14 @@ def _extract_llama(net):
         elif isinstance(layer, LlamaBlock):
             if not layer.causal:
                 raise ValueError("generate() needs causal LlamaBlocks")
-            meta = (layer.num_heads, layer.num_kv_heads, layer.head_dim,
-                    layer.eps, layer.rope_base)
+            lm = (layer.num_heads, layer.num_kv_heads, layer.head_dim,
+                  layer.eps, layer.rope_base)
+            if meta is not None and meta != lm:
+                raise ValueError(
+                    "generate() needs LlamaBlocks with UNIFORM heads/"
+                    "kv_heads/eps/rope_base (only attn_window may vary "
+                    "per block)")
+            meta = lm
             windows.append(layer.attn_window)
             blocks.append({k: v.data for k, v in layer.params.items()})
         elif isinstance(layer, RMSNorm):
@@ -157,9 +168,10 @@ def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max,
     d = emb.shape[1]
     hd = d // heads
     x = emb[prompt] + pos[:, :t0]
+    masks = {w: _banded_tril(t0, w) for w in set(windows)}
     caches = []
     for bp, window in zip(blocks, windows):
-        mask = _banded_tril(t0, window)
+        mask = masks[window]
         xn = _ln(x, bp["g1"], bp["be1"], eps)
         q = (xn @ bp["wq"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
         k = (xn @ bp["wk"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
@@ -186,9 +198,10 @@ def _prefill_llama(blocks, emb, normg, head, hkv, group, hd, eps, base,
     d = emb.shape[1]
     h = hkv * group
     x = emb[prompt]
+    masks = {w: _banded_tril(t0, w) for w in set(windows)}
     caches = []
     for bp, window in zip(blocks, windows):
-        mask = _banded_tril(t0, window)
+        mask = masks[window]
         xn = _rms(x, bp["g1"], eps)
         q = (xn @ bp["wq"]).reshape(b, t0, h, hd).transpose(0, 2, 1, 3)
         k = (xn @ bp["wk"]).reshape(b, t0, hkv, hd).transpose(0, 2, 1, 3)

@@ -3,7 +3,7 @@ updates.
 
 The reference flattens every gradient into ONE 1-D vector each step, runs the
 update there, and re-slices per parameter (reference: core/optimizer.py:12-35)
-— a gather/scatter round trip per step. All six update rules are elementwise,
+— a gather/scatter round trip per step. All seven update rules are elementwise,
 so per-leaf pytree updates are numerically IDENTICAL while letting XLA fuse
 each parameter's update into the backward pass of the same compiled program.
 

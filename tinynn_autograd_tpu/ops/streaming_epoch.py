@@ -90,7 +90,7 @@ def _find_stack(net):
 def supports(net, params_tree, optimizer):
     """Eligible: exactly one DenseStack (any supported act) surrounded by
     Dense/Activation/Flatten layers, width a multiple of 128 (MXU tiling),
-    and any optimizer (all six expose the per-leaf ``_step_leaf`` rule the
+    and any optimizer (all seven expose the per-leaf ``_step_leaf`` rule the
     backward kernel re-traces)."""
     from tinynn_autograd_tpu.nn.layers import Activation, Dense, Flatten
 
