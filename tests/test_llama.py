@@ -716,3 +716,54 @@ def test_generate_rejects_mixed_block_meta():
     net.init((1, 4))
     with pytest.raises(ValueError, match="UNIFORM"):
         generate(net, np.zeros((1, 2), np.int64), 2)
+
+
+# --------------------------------------------------------------------- ViT
+
+
+def test_reshape_layer_values_grads_and_guards():
+    from tinynn_autograd_tpu.nn.layers import Reshape
+
+    x = _rand(2, 3, 4, seed=40)
+    lyr = Reshape((-1,))
+    out = lyr.forward(Tensor(x, requires_grad=True))
+    assert out.shape == (2, 12)
+    assert lyr.init_params((2, 3, 4)) == (2, 12)
+    lyr2 = Reshape((2, 2, 3))
+    assert lyr2.init_params((5, 3, 4)) == (5, 2, 2, 3)
+    with pytest.raises(ValueError, match="-1"):
+        Reshape((-1, -1))
+    # grads restore the input shape through the tape
+    t = Tensor(x, requires_grad=True)
+    out = Reshape((4, 3)).forward(t)
+    out.backward(Tensor(np.ones((2, 4, 3), np.float32)))
+    assert np.asarray(t.grad).shape == x.shape
+
+
+def test_tiny_vit_learns_quadrant_task():
+    """ViT by composition (Conv2D patchify + Reshape + blocks): classify
+    which image quadrant carries the bright patch — position embeddings +
+    attention must route it."""
+    from tinynn_autograd_tpu.models import build_tiny_vit
+
+    rng = np.random.RandomState(0)
+    n, hw = 128, 8
+    labels = rng.randint(0, 4, n)
+    x = rng.randn(n, hw, hw, 1).astype(np.float32) * 0.1
+    for i, q in enumerate(labels):
+        r, c = divmod(int(q), 2)
+        x[i, r * 4:(r + 1) * 4, c * 4:(c + 1) * 4, 0] += 2.0
+    y = np.eye(4, dtype=np.float32)[labels]
+
+    random_seed(121)
+    net = build_tiny_vit(image_shape=(hw, hw, 1), patch=4, dim=32,
+                         heads=4, depth=1, num_out=4)
+    model = Model(net, SoftmaxCrossEntropyLoss(), Adam(3e-3))
+    first = last = None
+    for i in range(60):
+        loss = float(model.train_step(x, y))
+        first = loss if i == 0 else first
+        last = loss
+    assert last < first * 0.1, (first, last)
+    pred = np.asarray(model.forward(Tensor(x)).data).argmax(-1)
+    assert (pred == labels).mean() > 0.95

@@ -1193,6 +1193,36 @@ class MaxPool2D(Layer):
         return ops.maxpool2d_(x, self.pool_size, self.stride)
 
 
+class Reshape(Layer):
+    """Batch-preserving reshape: [N, ...] -> [N, *shape] (one ``-1``
+    allowed, inferred from the element count). Pure layout — the tape's
+    reshape_ VJP restores the input shape. Lets model builders compose
+    layout changes without custom layers (e.g. ViT patchify: Conv2D
+    [N, H', W', D] -> Reshape((-1, D)) -> [N, T, D] token sequence)."""
+
+    def __init__(self, shape):
+        super().__init__("Reshape")
+        self.target = tuple(int(s) for s in shape)
+        if sum(1 for s in self.target if s == -1) > 1:
+            raise ValueError("at most one -1 in shape, got %r"
+                             % (self.target,))
+
+    def _resolve(self, in_shape):
+        n_elems = int(np.prod(in_shape[1:]))
+        if -1 not in self.target:
+            return self.target
+        known = int(np.prod([s for s in self.target if s != -1]))
+        return tuple(n_elems // known if s == -1 else s
+                     for s in self.target)
+
+    def init_params(self, input_shape):
+        return (input_shape[0],) + self._resolve(tuple(input_shape))
+
+    def forward(self, inputs):
+        return inputs.reshape(
+            (inputs.shape[0],) + self._resolve(inputs.shape))
+
+
 class Flatten(Layer):
     """[N, ...] -> [N, prod(...)]."""
 
