@@ -262,7 +262,9 @@ def test_window_requires_causal_layer():
         LlamaBlock(16, 4, causal=False, attn_window=4)
 
 
-def test_cp_ring_rejects_window():
+def test_cp_ring_rejects_window_wider_than_chunk():
+    """window > T/n cannot ride the one-hop path (the band reaches past
+    the neighbor chunk) — clear error pointing at ulysses."""
     from tinynn_autograd_tpu.models import build_tiny_llama
     from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
     from tinynn_autograd_tpu.nn.model import Model
@@ -278,10 +280,53 @@ def test_cp_ring_rejects_window():
                RMSNorm(16), Dense(8, num_in=16)])
     cp = ContextParallel(Model(net, SoftmaxCrossEntropyLoss(), SGD(0.1)),
                          mesh=make_mesh(4, axis_name="ctx"))
-    x = np.zeros((4, 8), np.int64)
+    x = np.zeros((4, 8), np.int64)   # T/n = 2 < window 4
     y = np.eye(8, dtype=np.float32)[np.zeros((4, 8), np.int64)]
-    with pytest.raises(ValueError, match="attn_window"):
+    with pytest.raises(ValueError, match="local chunk"):
         cp.train_step(x, y)
+
+
+@pytest.mark.parametrize("family", ["llama", "classic"])
+def test_cp_windowed_one_hop_matches_single_device(family):
+    """window <= T/n: ring CP takes the ONE-HOP neighbor-exchange path
+    (a single ppermute instead of the n-1-hop ring) — must train
+    identically to the single-device windowed model, both families."""
+    from tinynn_autograd_tpu.models import (
+        build_tiny_llama, build_tiny_transformer,
+    )
+    from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
+    from tinynn_autograd_tpu.nn.model import Model
+    from tinynn_autograd_tpu.nn.optimizer import SGD
+    from tinynn_autograd_tpu.parallel import ContextParallel, make_mesh
+
+    seq, mesh = 16, 4   # T/n = 4, window 3 < 4
+
+    def mk(seed):
+        random_seed(seed)
+        if family == "llama":
+            net = build_tiny_llama(vocab=16, dim=32, heads=8, kv_heads=4,
+                                   depth=2, attn_window=3)
+        else:
+            net = build_tiny_transformer(vocab=16, seq_len=seq, dim=32,
+                                         heads=8, depth=2, num_out=16,
+                                         causal=True, attn_window=3)
+        return Model(net, SoftmaxCrossEntropyLoss(), SGD(lr=0.1))
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 16, (8, seq))
+    y = (np.eye(16, dtype=np.float32)[(x + 1) % 16] if family == "llama"
+         else np.eye(16, dtype=np.float32)[x[:, 0]])
+    cp = ContextParallel(mk(1), mesh=make_mesh(mesh, axis_name="ctx"))
+    ref = mk(1)
+    for _ in range(3):
+        np.testing.assert_allclose(float(cp.train_step(x, y)),
+                                   float(ref.train_step(x, y)),
+                                   rtol=5e-5, atol=1e-6)
+    for layer_cp, layer_ref in zip(cp.gather_params(), ref._params):
+        for kk in layer_ref:
+            np.testing.assert_allclose(
+                layer_cp[kk], np.asarray(layer_ref[kk]),
+                rtol=3e-4, atol=1e-5)
 
 
 def test_tp_windowed_llama_matches_single_device():

@@ -105,13 +105,10 @@ class ContextParallel:
                 raise ValueError(
                     "ulysses GQA needs kv heads (%d) divisible by the "
                     "mesh (%d)" % (layer.num_kv_heads, self.n_devices))
-            if (self.mode != "ulysses"
-                    and isinstance(layer, (TransformerBlock, LlamaBlock))
-                    and getattr(layer, "attn_window", None) is not None):
-                raise ValueError(
-                    "sliding-window attention (attn_window) is not "
-                    "supported by the ring CP modes (their masks are "
-                    "built per ring hop); use mode='ulysses'")
+            # sliding-window blocks under the ring modes take the ONE-HOP
+            # neighbor-exchange path (window <= T/n, checked at forward
+            # time when the chunk length is known); ulysses masks the
+            # globally-ordered rows via layer._mask — both supported
 
     # ------------------------------------------------------------- forward
 
@@ -173,6 +170,43 @@ class ContextParallel:
         v = split_heads(xn @ p["wv"], layer.num_heads)
         return q, k, v
 
+    def _windowed_one_hop_ctx(self, layer, q, kj, vj, tl, hd, window,
+                              keys):
+        """Sliding-window attention on the sequence shard with ONE
+        neighbor hop: fetch the PREVIOUS device's K/V chunk (ppermute),
+        concat, and mask by GLOBAL positions to the causal band
+        (p - window, p]. Device 0's 'previous' chunk arrives from device
+        n-1 via the ring wrap, but its global positions exceed every
+        local row, so the causal mask kills it — no special case. Exact:
+        window <= Tl guarantees the band never reaches further back.
+        O(Tl * 2Tl) scores instead of the full ring's Tl * T."""
+        axis = self.axis_name
+        n = self.n_devices
+        if kj.shape[1] != q.shape[1]:   # GQA: scores materialize here
+            group = q.shape[1] // kj.shape[1]
+            kj = _repeat_heads(kj, group)
+            vj = _repeat_heads(vj, group)
+        one_hop = [(i, (i + 1) % n) for i in range(n)]
+        k_prev = ops.ppermute_(kj, axis, one_hop)
+        v_prev = ops.ppermute_(vj, axis, one_hop)
+        k_all = ops.concat([k_prev, kj], axis=2)      # [B, H, 2Tl, hd]
+        v_all = ops.concat([v_prev, vj], axis=2)
+        idx = jax.lax.axis_index(axis)
+        rows = idx * tl + jax.lax.broadcasted_iota(
+            jnp.int32, (tl, 2 * tl), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * tl), 1)
+        owner = jnp.where(col_iota < tl, (idx - 1) % n, idx)
+        cols = owner * tl + jnp.where(col_iota < tl, col_iota,
+                                      col_iota - tl)
+        vis = (cols <= rows) & (rows - cols < window)
+        mask = jnp.where(vis, 0.0, -1e9)
+        scores = (q @ k_all.transpose((0, 1, 3, 2))) \
+            * (1.0 / np.sqrt(hd)) + mask
+        attn = ops.softmax_(scores, axis=-1)
+        if keys is not None and layer.attn_dropout > 0.0:
+            attn = ops.dropout_(attn, layer.attn_dropout, keys[0])
+        return attn @ v_all
+
     def _ring_block_forward(self, layer, params, h, loc_rng=None, li=0):
         """One TransformerBlock OR LlamaBlock on the sequence shard
         [B, T/n, D] with K/V rotating around the ring; replicated params
@@ -197,7 +231,21 @@ class ContextParallel:
 
         q, kj, vj = self._block_qkv(layer, p, h)
 
-        if self.mode == "ring":
+        window = getattr(layer, "attn_window", None)
+        if window is not None:
+            # SLIDING WINDOW: when the band fits one chunk, a query needs
+            # keys only from its own chunk and its predecessor — ONE
+            # neighbor ppermute replaces the n-1-hop ring entirely (local
+            # attention parallelizes trivially over the sequence)
+            if window > tl:
+                raise ValueError(
+                    "ring CP with sliding-window attention needs "
+                    "window (%d) <= the local chunk T/n (%d) — one "
+                    "neighbor hop covers the band; for wider windows "
+                    "use mode='ulysses'" % (window, tl))
+            ctx = self._windowed_one_hop_ctx(layer, q, kj, vj, tl,
+                                             hd, window, keys)
+        elif self.mode == "ring":
             attn_rate = (layer.attn_dropout
                          if keys is not None and layer.attn_dropout > 0.0
                          else 0.0)
