@@ -19,6 +19,7 @@ Usage (real TPU):  python tpu_check.py [--round N]
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -359,10 +360,36 @@ def check_recurrent_kernels_hw(results):
 
         res_p = jax.jit(lambda: grads("pallas"))()
         res_x = jax.jit(lambda: grads("xla"))()
-        errs = [float(jnp.max(jnp.abs(a - b_))) / max(
-                    1.0, float(jnp.max(jnp.abs(b_))))
-                for a, b_ in zip(res_p, res_x)]
-        assert max(errs) < 1e-4, (name, errs)
+        # High-precision oracle: on TPU, BOTH the XLA scan and the Mosaic
+        # kernel run f32 matmuls as one-pass-bf16 at DEFAULT precision
+        # (measured 2026-08-18: the pallas FORWARD matches xla-default
+        # bit-exactly, and both sit ~1.2e-2 from an xla-highest run over
+        # this T=128 dependent chain; the pallas-vs-xla-default grad gap
+        # of ~4e-3 is just different rounding association in the two
+        # backward orderings). So the gate compares each against an
+        # xla-HIGHEST oracle and requires pallas inside the same
+        # precision envelope as xla-default — not the two noisy
+        # default-precision paths against each other.
+        with jax.default_matmul_precision("highest"):
+            res_hi = jax.jit(lambda: grads("xla"))()
+
+        def rel_errs(res, ref):
+            return [float(jnp.max(jnp.abs(a - b_))) / max(
+                        1.0, float(jnp.max(jnp.abs(b_))))
+                    for a, b_ in zip(res, ref)]
+
+        errs = rel_errs(res_p, res_hi)
+        errs_x = rel_errs(res_x, res_hi)
+        assert max(errs) <= max(2.0 * max(errs_x), 1e-4), (
+            name, errs, errs_x)
+        # secondary gate: pallas vs xla-default directly. Both run the
+        # SAME one-pass-bf16 precision, so they must agree far more
+        # tightly than either agrees with the highest oracle (GRU's
+        # multiplicative gating amplifies default-precision rounding
+        # ~0.46 rel vs highest over the T=128 chain — the envelope gate
+        # alone would mask a real math bug of that size)
+        errs_pd = rel_errs(res_p, res_x)
+        assert max(errs_pd) < 5e-2, (name, errs_pd)
 
         # chained timing: one dispatch, many dependent fwd+bwd iterations
         def chain(impl, iters=200):
@@ -384,7 +411,9 @@ def check_recurrent_kernels_hw(results):
         us_p = chain("pallas")
         us_x = chain("xla")
         results["recurrent_" + name] = {
-            "max_rel_err_vs_xla": round(max(errs), 8),
+            "max_rel_err_vs_xla_highest": round(max(errs), 8),
+            "xla_default_rel_err_vs_xla_highest": round(max(errs_x), 8),
+            "pallas_rel_err_vs_xla_default": round(max(errs_pd), 8),
             "pallas_us_per_step": round(us_p, 1),
             "xla_us_per_step": round(us_x, 1),
             "speedup": round(us_x / us_p, 2),
@@ -397,20 +426,35 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--round", type=int, default=3)
     parser.add_argument("--out", default=None)
+    parser.add_argument("--only", default=None,
+                        help="comma-separated gate subset (dropout,"
+                             "megakernel,flash,llama_window,remat_accum,"
+                             "recurrent); merges into an existing --out")
     args = parser.parse_args()
 
     import jax
 
-    results = {"backend": jax.default_backend(),
-               "device": str(jax.devices()[0])}
-    check_pltpu_dropout_stats(results)
-    check_megakernel_dropout_e2e(results)
-    check_flash_dropout_hw(results)
-    check_llama_window_hw(results)
-    check_remat_accum_hw(results)
-    check_recurrent_kernels_hw(results)
-
     out = args.out or "TPUCHECK_r%02d.json" % args.round
+    gates = {
+        "dropout": check_pltpu_dropout_stats,
+        "megakernel": check_megakernel_dropout_e2e,
+        "flash": check_flash_dropout_hw,
+        "llama_window": check_llama_window_hw,
+        "remat_accum": check_remat_accum_hw,
+        "recurrent": check_recurrent_kernels_hw,
+    }
+    selected = (list(gates) if args.only is None
+                else [s.strip() for s in args.only.split(",")])
+
+    results = {}
+    if args.only is not None and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+    results["backend"] = jax.default_backend()
+    results["device"] = str(jax.devices()[0])
+    for name in selected:
+        gates[name](results)
+
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)
