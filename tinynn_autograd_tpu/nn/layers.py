@@ -40,6 +40,26 @@ def _init_scope(seed):
             else contextlib.nullcontext())
 
 
+def _to_dtype(t, dtype):
+    """Tape-tracked cast, a no-op when the dtype already matches.
+
+    This is the whole mixed-precision mechanism: ``astype_``'s VJP casts
+    the cotangent back to the SOURCE dtype, so casting an f32 master
+    parameter to bf16 at its use site yields an f32 gradient for the f32
+    master weight — the standard mixed-precision discipline (params and
+    optimizer state stay f32; matmul operands and the activations that
+    flow between layers are bf16). bf16 shares f32's exponent range, so
+    no loss scaling is needed (that is an fp16 artifact)."""
+    if dtype is None:
+        return t
+    from tinynn_autograd_tpu.core.tensor import as_tensor
+
+    t = as_tensor(t)
+    if t.dtype == np.dtype(dtype):
+        return t
+    return ops.astype_(t, dtype)
+
+
 class Layer:
     """Base layer: named, owns ``params``/``grads`` dicts and a training
     flag (reference contract: core/layers.py:10-22)."""
@@ -75,11 +95,18 @@ class Dense(Layer):
     (reference: core/layers.py:25-57). ``num_in`` may be omitted and is
     inferred from the first input (lazy init). ``seed`` pins the layer's
     parameter draws to a dedicated PRNG stream independent of global draw
-    order (see utils.seeder.scope)."""
+    order (see utils.seeder.scope).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) enables mixed precision:
+    the input and both parameters are cast at the use site, so the matmul
+    runs and the OUTPUT flows downstream in that dtype (halved activation
+    HBM traffic), while the stored parameters, their gradients, and the
+    optimizer state all stay f32 master copies (see _to_dtype)."""
 
     def __init__(self, num_out, num_in=None,
-                 w_init=None, b_init=None, seed=None):
+                 w_init=None, b_init=None, seed=None, compute_dtype=None):
         super().__init__("Linear")
+        self.compute_dtype = compute_dtype
         self.initializers = {
             "w": w_init if w_init is not None else XavierUniformInit(),
             "b": b_init if b_init is not None else ZerosInit(),
@@ -99,7 +126,11 @@ class Dense(Layer):
     def forward(self, inputs):
         if not self._is_init:
             self._init_parameters(inputs.shape[-1])
-        return inputs @ self.params["w"] + self.params["b"]
+        cd = self.compute_dtype
+        if cd is None:
+            return inputs @ self.params["w"] + self.params["b"]
+        return (_to_dtype(inputs, cd) @ _to_dtype(self.params["w"], cd)
+                + _to_dtype(self.params["b"], cd))
 
     def init_params(self, input_shape):
         """Shape-only initialization (no compute) so jitted paths can
@@ -281,7 +312,8 @@ class TransformerBlock(Layer):
 
     def __init__(self, dim, num_heads, mlp_ratio=4, causal=False,
                  w_init=None, eps=1e-5, seed=None, attn="fused",
-                 dropout=0.0, attn_dropout=0.0, attn_window=None):
+                 dropout=0.0, attn_dropout=0.0, attn_window=None,
+                 compute_dtype=None):
         super().__init__("TransformerBlock")
         assert dim % num_heads == 0, (dim, num_heads)
         assert attn in ("fused", "tape"), attn
@@ -289,6 +321,11 @@ class TransformerBlock(Layer):
             raise ValueError("attn_window (sliding-window attention) "
                              "requires causal=True")
         self.attn_window = attn_window
+        # mixed precision: the residual stream, every matmul, and the MLP
+        # run in compute_dtype; the two layer norms and the attention core
+        # (softmax) run in f32 (the standard policy — see _to_dtype);
+        # params/grads/optimizer state stay f32 masters
+        self.compute_dtype = compute_dtype
         self.dim = dim
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
@@ -358,6 +395,12 @@ class TransformerBlock(Layer):
         p = self.params
         b, t, d = inputs.shape
         h, hd = self.num_heads, self.head_dim
+        cd = self.compute_dtype
+        if cd is not None:
+            cast = lambda x: _to_dtype(x, cd)          # noqa: E731
+            up = lambda x: _to_dtype(x, np.float32)    # noqa: E731
+        else:
+            cast = up = lambda x: x                    # noqa: E731
 
         def split_heads(x):  # [B,T,D] -> [B,H,T,hd]
             return x.reshape((b, t, h, hd)).transpose((0, 2, 1, 3))
@@ -366,10 +409,12 @@ class TransformerBlock(Layer):
                 and (self.dropout > 0.0 or self.attn_dropout > 0.0))
         keys = self._drop_keys() if drop else None
 
-        xn = ops.layer_norm_(inputs, p["g1"], p["be1"], eps=self.eps)
-        q = split_heads(xn @ p["wq"])
-        k = split_heads(xn @ p["wk"])
-        v = split_heads(xn @ p["wv"])
+        inputs = cast(inputs)
+        xn = cast(ops.layer_norm_(up(inputs), p["g1"], p["be1"],
+                                  eps=self.eps))
+        q = up(split_heads(xn @ cast(p["wq"])))
+        k = up(split_heads(xn @ cast(p["wk"])))
+        v = up(split_heads(xn @ cast(p["wv"])))
         if self.attn == "fused":
             attn_rate = (self.attn_dropout
                          if drop and self.attn_dropout > 0.0 else 0.0)
@@ -387,14 +432,15 @@ class TransformerBlock(Layer):
             if drop and self.attn_dropout > 0.0:
                 attn = ops.dropout_(attn, self.attn_dropout, keys[0])
             ctx_h = attn @ v
-        ctx = ctx_h.transpose((0, 2, 1, 3)).reshape((b, t, d))
-        attn_out = ctx @ p["wo"]
+        ctx = cast(ctx_h.transpose((0, 2, 1, 3)).reshape((b, t, d)))
+        attn_out = ctx @ cast(p["wo"])
         if drop and self.dropout > 0.0:
             attn_out = ops.dropout_(attn_out, self.dropout, keys[1])
         x = inputs + attn_out
 
-        yn = ops.layer_norm_(x, p["g2"], p["be2"], eps=self.eps)
-        y = ops.gelu_(yn @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+        yn = cast(ops.layer_norm_(up(x), p["g2"], p["be2"], eps=self.eps))
+        y = (ops.gelu_(yn @ cast(p["w1"]) + cast(p["b1"]))
+             @ cast(p["w2"]) + cast(p["b2"]))
         if drop and self.dropout > 0.0:
             y = ops.dropout_(y, self.dropout, keys[2])
         return x + y
@@ -441,7 +487,7 @@ class LlamaBlock(Layer):
     def __init__(self, dim, num_heads, num_kv_heads=None, mlp_ratio=8 / 3,
                  causal=True, w_init=None, eps=1e-6, rope_base=10000.0,
                  seed=None, attn="fused", dropout=0.0, attn_dropout=0.0,
-                 attn_window=None):
+                 attn_window=None, compute_dtype=None):
         super().__init__("LlamaBlock")
         assert dim % num_heads == 0, (dim, num_heads)
         assert attn in ("fused", "tape"), attn
@@ -449,6 +495,10 @@ class LlamaBlock(Layer):
             raise ValueError("attn_window (sliding-window attention) "
                              "requires causal=True")
         self.attn_window = attn_window
+        # mixed precision: same policy as TransformerBlock (residual
+        # stream + matmuls + SwiGLU in compute_dtype; RMSNorm, RoPE, and
+        # the attention core in f32; f32 master params)
+        self.compute_dtype = compute_dtype
         num_kv_heads = num_heads if num_kv_heads is None else num_kv_heads
         assert num_heads % num_kv_heads == 0, (num_heads, num_kv_heads)
         self.dim = dim
@@ -488,15 +538,25 @@ class LlamaBlock(Layer):
         p = self.params
         b, t, d = inputs.shape
         h, hkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        cd = self.compute_dtype
+        if cd is not None:
+            cast = lambda x: _to_dtype(x, cd)          # noqa: E731
+            up = lambda x: _to_dtype(x, np.float32)    # noqa: E731
+        else:
+            cast = up = lambda x: x                    # noqa: E731
 
         drop = (self.is_training
                 and (self.dropout > 0.0 or self.attn_dropout > 0.0))
         keys = self._drop_keys() if drop else None
 
-        xn = ops.rms_norm_(inputs, p["g1"], eps=self.eps)
-        q = (xn @ p["wq"]).reshape((b, t, h, hd)).transpose((0, 2, 1, 3))
-        k = (xn @ p["wk"]).reshape((b, t, hkv, hd)).transpose((0, 2, 1, 3))
-        v = (xn @ p["wv"]).reshape((b, t, hkv, hd)).transpose((0, 2, 1, 3))
+        inputs = cast(inputs)
+        xn = cast(ops.rms_norm_(up(inputs), p["g1"], eps=self.eps))
+        q = up((xn @ cast(p["wq"]))
+               .reshape((b, t, h, hd)).transpose((0, 2, 1, 3)))
+        k = up((xn @ cast(p["wk"]))
+               .reshape((b, t, hkv, hd)).transpose((0, 2, 1, 3)))
+        v = up((xn @ cast(p["wv"]))
+               .reshape((b, t, hkv, hd)).transpose((0, 2, 1, 3)))
         q = ops.rope_(q, base=self.rope_base)
         k = ops.rope_(k, base=self.rope_base)
         if self.attn == "fused":
@@ -522,14 +582,15 @@ class LlamaBlock(Layer):
             if drop and self.attn_dropout > 0.0:
                 attn = ops.dropout_(attn, self.attn_dropout, keys[0])
             ctx_h = attn @ v
-        ctx = ctx_h.transpose((0, 2, 1, 3)).reshape((b, t, d))
-        attn_out = ctx @ p["wo"]
+        ctx = cast(ctx_h.transpose((0, 2, 1, 3)).reshape((b, t, d)))
+        attn_out = ctx @ cast(p["wo"])
         if drop and self.dropout > 0.0:
             attn_out = ops.dropout_(attn_out, self.dropout, keys[1])
         x = inputs + attn_out
 
-        yn = ops.rms_norm_(x, p["g2"], eps=self.eps)
-        y = (ops.silu_(yn @ p["w1"]) * (yn @ p["w3"])) @ p["w2"]
+        yn = cast(ops.rms_norm_(up(x), p["g2"], eps=self.eps))
+        y = (ops.silu_(yn @ cast(p["w1"])) * (yn @ cast(p["w3"]))) \
+            @ cast(p["w2"])
         if drop and self.dropout > 0.0:
             y = ops.dropout_(y, self.dropout, keys[2])
         return x + y
@@ -1046,14 +1107,19 @@ class Conv2D(Layer):
     """
 
     def __init__(self, kernel, stride=1, padding="SAME",
-                 w_init=None, b_init=None, impl="xla", seed=None):
+                 w_init=None, b_init=None, impl="xla", seed=None,
+                 compute_dtype=None):
         """kernel: (KH, KW, C_in, C_out) — C_in may be None for lazy init.
 
         impl: "xla" (default) runs the conv2d_ primitive whose fwd and both
         hand VJPs are single lax conv calls on the MXU; "im2col" composes
         the conv from strided-slice patches + the Pallas matmul (useful as
-        a cross-check and where native convs are unavailable)."""
+        a cross-check and where native convs are unavailable).
+
+        compute_dtype: mixed precision exactly as in Dense — input and
+        kernel cast at use, output flows in that dtype, f32 master params."""
         super().__init__("Conv2D")
+        self.compute_dtype = compute_dtype
         self.kernel_shape = list(kernel)
         self.stride = _pair(stride)
         self.padding = padding
@@ -1122,18 +1188,21 @@ class Conv2D(Layer):
         oh = _conv_out_size(h, kh, sh, *pad_h)
         ow = _conv_out_size(w, kw, sw, *pad_w)
 
-        if self.impl == "xla":
-            out = ops.conv2d_(inputs, self.params["w"],
-                              self.stride, (pad_h, pad_w))
-            return out + self.params["b"].reshape((1, 1, 1, c_out))
+        cd = self.compute_dtype
+        wk = _to_dtype(self.params["w"], cd)
+        bk = _to_dtype(self.params["b"], cd)
+        x = _to_dtype(inputs, cd)
 
-        x = inputs
+        if self.impl == "xla":
+            out = ops.conv2d_(x, wk, self.stride, (pad_h, pad_w))
+            return out + bk.reshape((1, 1, 1, c_out))
+
         if pad_h != (0, 0) or pad_w != (0, 0):
             x = ops.pad(x, [(0, 0), pad_h, pad_w, (0, 0)])
         patches = _window_patches(x, n, oh, ow, kh, kw, sh, sw)
         cols_mat = patches.reshape((n * oh * ow, kh * kw * c_in))
-        w_mat = self.params["w"].reshape((kh * kw * c_in, c_out))
-        out = cols_mat @ w_mat + self.params["b"]
+        w_mat = wk.reshape((kh * kw * c_in, c_out))
+        out = cols_mat @ w_mat + bk
         return out.reshape((n, oh, ow, c_out))
 
 

@@ -18,6 +18,17 @@ import tinynn_autograd_tpu.ops as ops
 from tinynn_autograd_tpu.core.tensor import as_tensor
 
 
+def _f32_logits(logits):
+    """Upcast sub-32-bit logits (bf16 mixed-precision nets) to f32 before
+    the log-softmax/softplus reductions — the standard mixed-precision
+    policy keeps the loss in f32; the astype_ VJP returns the cotangent in
+    the net's compute dtype. f32/f64 logits pass through untouched."""
+    if (jnp.issubdtype(logits.dtype, jnp.inexact)
+            and jnp.finfo(logits.dtype).bits < 32):
+        return ops.astype_(logits, jnp.float32)
+    return logits
+
+
 class BaseLoss:
 
     def loss(self, predicted, actual):
@@ -43,6 +54,7 @@ class SoftmaxCrossEntropyLoss(BaseLoss):
 
     def loss(self, logits, labels):
         logits, labels = as_tensor(logits), as_tensor(labels)
+        logits = _f32_logits(logits)
         m = logits.shape[0]
         log_p = ops.log_softmax_(logits, axis=-1)
         # keepdims: all intermediates stay 2-D, which both XLA and Mosaic
@@ -60,6 +72,7 @@ class SigmoidCrossEntropyLoss(BaseLoss):
 
     def loss(self, logits, labels):
         logits, labels = as_tensor(logits), as_tensor(labels)
+        logits = _f32_logits(logits)
         m = logits.shape[0]
         relu_x = ops.relu(logits)
         per = relu_x - logits * labels + ops.softplus(-ops.abs(logits))

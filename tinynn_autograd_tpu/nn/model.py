@@ -311,6 +311,17 @@ class Model:
                 "fused=%r cannot run nets with buffer-carrying layers "
                 "(e.g. BatchNorm): running statistics would not update. "
                 "Use fused='auto' or fused=False." % (fused,))
+        if fused in (True, "stream") and any(
+                getattr(l, "compute_dtype", None) is not None
+                for l in self.net.layers):
+            # the forced Pallas tiers re-implement the layer math in f32
+            # inside the kernels — a mixed-precision net would silently
+            # train at the wrong precision; "auto" routes it to the
+            # scanned tier (which traces the layers' own casts)
+            raise ValueError(
+                "fused=%r cannot run mixed-precision nets "
+                "(compute_dtype set on a layer): the Pallas epoch kernels "
+                "run f32 math. Use fused='auto' or fused=False." % (fused,))
         if fused is True:
             kinds = ["mega"]
         elif fused == "stream":

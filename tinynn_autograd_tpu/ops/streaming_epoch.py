@@ -107,6 +107,11 @@ def supports(net, params_tree, optimizer):
             continue
         if not isinstance(layer, (Dense, Activation, Flatten)):
             return False
+        if getattr(layer, "compute_dtype", None) is not None:
+            # the streaming kernels re-implement layer math in f32;
+            # mixed-precision nets take the scanned tier (see
+            # fused_epoch.supports)
+            return False
     if getattr(optimizer, "clip_norm", None) is not None:
         # global-norm clipping needs ALL gradients before ANY update; the
         # streaming backward applies per-leaf updates in-kernel as each
