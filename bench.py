@@ -26,6 +26,33 @@ TTA_TARGET = 0.975
 TTA_MAX_EPOCHS = 50  # the reference example trains 50 epochs
 
 
+def probe_tpu(timeout=240):
+    """True iff a TPU backend is reachable AND functional.
+
+    The tunneled TPU backend can be down or wedged for hours (see
+    CLAUDE.md): any in-process jax device touch then hangs indefinitely at
+    backend init, which would leave the end-of-round bench with NO
+    artifact at all. Probe with a real round-trip (init + tiny matmul +
+    host readback) in a SUBPROCESS under a hard timeout, so the parent
+    process never touches a dead backend; callers fall back to a
+    clearly-labeled CPU run instead of hanging."""
+    import os
+    import subprocess
+
+    if os.environ.get("TINYNN_TPU_PLATFORM", "").lower() == "cpu":
+        return False
+    code = ("import jax, jax.numpy as jnp\n"
+            "x = jnp.ones((128, 128))\n"
+            "assert float((x @ x).sum()) > 0\n"
+            "print(jax.devices()[0].platform)\n")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                             capture_output=True, text=True)
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+    return out.returncode == 0 and "tpu" in out.stdout.lower()
+
+
 def measure_time_to_accuracy(target=TTA_TARGET, max_epochs=TTA_MAX_EPOCHS,
                              batch=128, require_real=False):
     """North-star metric: wall seconds / epochs until test accuracy crosses
@@ -126,6 +153,14 @@ def main():
 
     import jax
 
+    tpu_ok = probe_tpu()
+    if not tpu_ok:
+        # dead/wedged tunnel (or TINYNN_TPU_PLATFORM=cpu): run on the host
+        # CPU and LABEL it, rather than hanging forever with no artifact.
+        # NB: the env var alone does not stick here (the TPU plugin
+        # overwrites it at interpreter start) — the config update does.
+        jax.config.update("jax_platforms", "cpu")
+
     from tinynn_autograd_tpu.models import build_mnist_mlp
     from tinynn_autograd_tpu.nn.losses import SoftmaxCrossEntropyLoss
     from tinynn_autograd_tpu.nn.model import Model
@@ -179,7 +214,10 @@ def main():
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+        "platform": jax.devices()[0].platform,
     }
+    if not tpu_ok:
+        rec["tpu_unavailable"] = True
     rec.update(measure_time_to_accuracy(require_real=require_real))
     print(json.dumps(rec))
 

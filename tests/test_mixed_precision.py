@@ -122,12 +122,15 @@ def test_llama_block_bf16_matches_f32_twin():
 
 
 def test_loss_upcasts_bf16_logits_to_f32():
-    logits = Tensor(np.random.RandomState(4).randn(4, 5)
-                    .astype(np.float32)).astype(BF16)
+    src = Tensor(np.random.RandomState(4).randn(4, 5).astype(np.float32),
+                 requires_grad=True)
+    logits = src.astype(BF16)
     labels = np.eye(5, dtype=np.float32)[[0, 2, 1, 4]]
     loss = SoftmaxCrossEntropyLoss()(logits, Tensor(labels))
     assert loss.dtype == np.dtype(np.float32)
     loss.backward()
+    # the cotangent re-enters the producing stream in ITS dtype
+    assert src.grad.dtype == np.dtype(np.float32)
 
 
 def _blob_task(n=256, num_in=16, classes=4, seed=0):

@@ -10,9 +10,15 @@ positions masked by the running length), so the chip sees a single
 dispatch per ``generate`` call.
 
 Inference-only: this path reads the layers' parameters but never builds
-tape state (no gradients through generation). Numerics match the
-training forward exactly — the parity test decodes token-for-token
-against repeated full ``net.forward`` argmax. No reference counterpart
+tape state (no gradients through generation). At the default f32 serving
+precision, numerics match the f32 training forward exactly — the parity
+test decodes token-for-token against repeated full ``net.forward``
+argmax. Serving precision is a separate knob from training precision:
+``dtype=jnp.bfloat16`` runs the matmuls and holds the KV caches in bf16
+(norm/softmax/sampling cores stay f32), and nets TRAINED with
+``compute_dtype=`` mixed precision decode from their f32 master params
+(so two same-seed nets, one bf16-trained and one f32, generate
+identically at the default serving precision). No reference counterpart
 (the reference has no sequence models or serving path).
 """
 
@@ -29,6 +35,42 @@ from tinynn_autograd_tpu.nn.layers import (
 )
 
 _NEG_INF = -1e30
+
+# param keys that feed matmuls (cast to the serving dtype); norm
+# scales/shifts stay f32 (the norm cores always run in f32)
+_MATMUL_KEYS = frozenset(
+    ["wq", "wk", "wv", "wo", "w1", "w2", "w3", "b1", "b2", "w", "b"])
+
+
+def _serving_casts(cd):
+    """(cast, up) helpers for a serving dtype ``cd`` (None = f32 path,
+    both identity — the default path is byte-identical to before the
+    dtype option existed). ``cast`` moves matmul operands / the residual
+    stream / the KV caches into ``cd``; ``up`` lifts into f32 for the
+    norm and softmax cores (mirrors nn.layers._to_dtype's policy)."""
+    if cd is None:
+        ident = lambda x: x  # noqa: E731
+        return ident, ident
+    cast = lambda x: x.astype(cd)            # noqa: E731
+    up = lambda x: x.astype(jnp.float32)     # noqa: E731
+    return cast, up
+
+
+def _cast_params(params, cd):
+    """Cast the matmul parameters (and the embedding table) of an
+    extracted param pytree to the serving dtype; norm params stay f32."""
+    if cd is None:
+        return params
+    out = dict(params)
+    out["emb"] = params["emb"].astype(cd)
+    if "pos" in params:
+        out["pos"] = params["pos"].astype(cd)
+    out["head"] = {k: v.astype(cd) for k, v in params["head"].items()}
+    out["blocks"] = [
+        {k: (v.astype(cd) if k in _MATMUL_KEYS else v)
+         for k, v in bp.items()}
+        for bp in params["blocks"]]
+    return out
 
 
 def _gelu(x):
@@ -158,12 +200,18 @@ def _banded_tril(t0, window):
 
 
 def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max,
-                     windows):
+                     windows, cd=None):
     """Batched prefill — the serving-standard prefill/decode split: ONE
     fused forward over the whole prompt [B, T0] computes every block's
     K/V for all prompt positions (written into the static-size caches)
     and the last position's logits, instead of T0 sequential single-token
-    steps. Exact same math as the cached step, batched over positions."""
+    steps. Exact same math as the cached step, batched over positions.
+
+    ``cd``: serving dtype (e.g. bf16) — matmul operands, the residual
+    stream, and the caches run/live in ``cd``; norms and softmax in f32
+    (score/ctx einsums take the bf16 operands natively on the MXU and
+    accumulate f32 via preferred_element_type)."""
+    cast, up = _serving_casts(cd)
     b, t0 = prompt.shape
     d = emb.shape[1]
     hd = d // heads
@@ -172,7 +220,7 @@ def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max,
     caches = []
     for bp, window in zip(blocks, windows):
         mask = masks[window]
-        xn = _ln(x, bp["g1"], bp["be1"], eps)
+        xn = cast(_ln(up(x), bp["g1"], bp["be1"], eps))
         q = (xn @ bp["wq"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
         k = (xn @ bp["wk"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
         v = (xn @ bp["wv"]).reshape(b, t0, heads, hd).transpose(0, 2, 1, 3)
@@ -184,16 +232,19 @@ def _prefill_classic(blocks, emb, pos, head, heads, eps, prompt, t_max,
         p = jax.nn.softmax(s, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", p, v,
                          preferred_element_type=jnp.float32)
-        x = x + ctx.transpose(0, 2, 1, 3).reshape(b, t0, d) @ bp["wo"]
-        yn = _ln(x, bp["g2"], bp["be2"], eps)
-        x = x + _gelu(yn @ bp["w1"] + bp["b1"]) @ bp["w2"] + bp["b2"]
-    return x[:, -1] @ head["w"] + head["b"], caches
+        x = x + cast(ctx.transpose(0, 2, 1, 3).reshape(b, t0, d)) @ bp["wo"]
+        yn = cast(_ln(up(x), bp["g2"], bp["be2"], eps))
+        x = x + cast(_gelu(yn @ bp["w1"] + bp["b1"])) @ bp["w2"] + bp["b2"]
+    return up(x[:, -1] @ head["w"] + head["b"]), caches
 
 
 def _prefill_llama(blocks, emb, normg, head, hkv, group, hd, eps, base,
-                   prompt, t_max, windows):
+                   prompt, t_max, windows, cd=None):
     """Batched llama prefill: one fused pass filling the GQA caches
-    (held at Hkv heads) for all prompt positions."""
+    (held at Hkv heads) for all prompt positions. ``cd``: serving dtype —
+    see _prefill_classic; the GQA caches are stored POST-RoPE in ``cd``
+    (half the HBM at bf16, the headline serving saving on top of GQA)."""
+    cast, up = _serving_casts(cd)
     b, t0 = prompt.shape
     d = emb.shape[1]
     h = hkv * group
@@ -202,11 +253,11 @@ def _prefill_llama(blocks, emb, normg, head, hkv, group, hd, eps, base,
     caches = []
     for bp, window in zip(blocks, windows):
         mask = masks[window]
-        xn = _rms(x, bp["g1"], eps)
+        xn = cast(_rms(up(x), bp["g1"], eps))
         q = (xn @ bp["wq"]).reshape(b, t0, h, hd).transpose(0, 2, 1, 3)
         k = (xn @ bp["wk"]).reshape(b, t0, hkv, hd).transpose(0, 2, 1, 3)
         v = (xn @ bp["wv"]).reshape(b, t0, hkv, hd).transpose(0, 2, 1, 3)
-        q, k = _rope_batch(q, base), _rope_batch(k, base)
+        q, k = cast(_rope_batch(q, base)), cast(_rope_batch(k, base))
         pad = [(0, 0), (0, 0), (0, t_max - t0), (0, 0)]
         caches.append((jnp.pad(k, pad), jnp.pad(v, pad)))
         qg = q.reshape(b, hkv, group, t0, hd)
@@ -216,22 +267,24 @@ def _prefill_llama(blocks, emb, normg, head, hkv, group, hd, eps, base,
         p = jax.nn.softmax(s, axis=-1)
         ctx = jnp.einsum("bkgqc,bkcd->bkgqd", p, v,
                          preferred_element_type=jnp.float32)
-        ctx = ctx.reshape(b, h, t0, hd).transpose(0, 2, 1, 3)
+        ctx = cast(ctx.reshape(b, h, t0, hd).transpose(0, 2, 1, 3))
         x = x + ctx.reshape(b, t0, d) @ bp["wo"]
-        yn = _rms(x, bp["g2"], eps)
+        yn = cast(_rms(up(x), bp["g2"], eps))
         x = x + (jax.nn.silu(yn @ bp["w1"]) * (yn @ bp["w3"])) @ bp["w2"]
-    return _rms(x[:, -1], normg, eps) @ head["w"] + head["b"], caches
+    return up(cast(_rms(up(x[:, -1]), normg, eps))
+              @ head["w"] + head["b"]), caches
 
 
 def _block_step(bp, x, cache_k, cache_v, t, heads, eps, t_max,
-                window=None):
+                window=None, cd=None):
     """One transformer block on ONE token x [B, D] at position t, reading
     and appending the block's KV cache [B, H, T_max, hd]. ``window``:
     sliding-window attention — only cache rows in (t - window, t] are
-    visible."""
+    visible. ``cd``: serving dtype (see _prefill_classic)."""
+    cast, up = _serving_casts(cd)
     b, d = x.shape
     hd = d // heads
-    xn = _ln(x, bp["g1"], bp["be1"], eps)
+    xn = cast(_ln(up(x), bp["g1"], bp["be1"], eps))
     q = (xn @ bp["wq"]).reshape(b, heads, 1, hd)
     k = (xn @ bp["wk"]).reshape(b, heads, hd)
     v = (xn @ bp["wv"]).reshape(b, heads, hd)
@@ -247,25 +300,27 @@ def _block_step(bp, x, cache_k, cache_v, t, heads, eps, t_max,
     p = jax.nn.softmax(s, axis=-1)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", p, cache_v,
                      preferred_element_type=jnp.float32)
-    x = x + ctx.reshape(b, d) @ bp["wo"]
-    yn = _ln(x, bp["g2"], bp["be2"], eps)
-    x = x + _gelu(yn @ bp["w1"] + bp["b1"]) @ bp["w2"] + bp["b2"]
+    x = x + cast(ctx.reshape(b, d)) @ bp["wo"]
+    yn = cast(_ln(up(x), bp["g2"], bp["be2"], eps))
+    x = x + cast(_gelu(yn @ bp["w1"] + bp["b1"])) @ bp["w2"] + bp["b2"]
     return x, cache_k, cache_v
 
 
 def _llama_block_step(bp, x, cache_k, cache_v, t, hkv, group, hd, eps,
-                      base, window=None):
+                      base, window=None, cd=None):
     """One LlamaBlock on ONE token x [B, D] at position t, reading and
     appending the block's GQA KV cache [B, Hkv, T_max, hd] — the cache is
     held at Hkv heads (the GQA serving saving); the query's H = Hkv*group
-    heads read it grouped."""
+    heads read it grouped. ``cd``: serving dtype — the cache lives in
+    ``cd`` (bf16 halves KV HBM on top of the GQA head saving)."""
+    cast, up = _serving_casts(cd)
     b, d = x.shape
-    xn = _rms(x, bp["g1"], eps)
+    xn = cast(_rms(up(x), bp["g1"], eps))
     q = (xn @ bp["wq"]).reshape(b, hkv, group, hd)
     k = (xn @ bp["wk"]).reshape(b, hkv, hd)
     v = (xn @ bp["wv"]).reshape(b, hkv, hd)
-    q = _rope_one(q, t, base)
-    k = _rope_one(k, t, base)
+    q = cast(_rope_one(q, t, base))
+    k = cast(_rope_one(k, t, base))
     cache_k = jax.lax.dynamic_update_index_in_dim(cache_k, k, t, axis=2)
     cache_v = jax.lax.dynamic_update_index_in_dim(cache_v, v, t, axis=2)
     s = jnp.einsum("bkgd,bktd->bkgt", q, cache_k,
@@ -278,8 +333,8 @@ def _llama_block_step(bp, x, cache_k, cache_v, t, hkv, group, hd, eps,
     p = jax.nn.softmax(s, axis=-1)
     ctx = jnp.einsum("bkgt,bktd->bkgd", p, cache_v,
                      preferred_element_type=jnp.float32)
-    x = x + ctx.reshape(b, d) @ bp["wo"]
-    yn = _rms(x, bp["g2"], eps)
+    x = x + cast(ctx.reshape(b, d)) @ bp["wo"]
+    yn = cast(_rms(up(x), bp["g2"], eps))
     x = x + (jax.nn.silu(yn @ bp["w1"]) * (yn @ bp["w3"])) @ bp["w2"]
     return x, cache_k, cache_v
 
@@ -305,10 +360,20 @@ def _filter_logits(logits, top_k, top_p):
     return logits
 
 
+def _cfg_dtype(cfg):
+    """The serving dtype baked into a static config (None = f32)."""
+    name = cfg[8] if len(cfg) > 8 else None
+    return None if name is None else jnp.dtype(name)
+
+
 def _make_token_logits(cfg, params):
     """Single-token step closure over a STATIC config + call-time param
-    pytree (shared by the cached decode/beam runners)."""
+    pytree (shared by the cached decode/beam runners). Logits are always
+    returned in f32 (the sampling/softmax core runs in f32 regardless of
+    the serving dtype)."""
     (family, b_eff, t0, n_new, t_max, n_blocks, windows, fam) = cfg[:8]
+    cd = _cfg_dtype(cfg)
+    cast, up = _serving_casts(cd)
     emb, head, blocks = params["emb"], params["head"], params["blocks"]
 
     def token_logits(tok, t, caches):
@@ -320,34 +385,36 @@ def _make_token_logits(cfg, params):
                 ck, cv = caches[l]
                 x, ck, cv = _llama_block_step(
                     blocks[l], x, ck, cv, t, hkv, group, hd, eps, base,
-                    windows[l])
+                    windows[l], cd)
                 new_caches.append((ck, cv))
-            return (_rms(x, params["norm"], eps) @ head["w"] + head["b"],
+            return (up(cast(_rms(up(x), params["norm"], eps))
+                       @ head["w"] + head["b"]),
                     new_caches)
         heads, eps = fam
         x = emb[tok] + params["pos"][0, t]
         for l in range(n_blocks):
             ck, cv = caches[l]
             x, ck, cv = _block_step(blocks[l], x, ck, cv, t, heads, eps,
-                                    t_max, windows[l])
+                                    t_max, windows[l], cd)
             new_caches.append((ck, cv))
-        return x @ head["w"] + head["b"], new_caches
+        return up(x @ head["w"] + head["b"]), new_caches
 
     return token_logits
 
 
 def _run_prefill(cfg, params, prompt):
     (family, b_eff, t0, n_new, t_max, n_blocks, windows, fam) = cfg[:8]
+    cd = _cfg_dtype(cfg)
     if family == "llama":
         hkv, group, hd, eps, base = fam
         return _prefill_llama(
             params["blocks"], params["emb"], params["norm"],
             params["head"], hkv, group, hd, eps, base, prompt, t_max,
-            windows)
+            windows, cd)
     heads, eps = fam
     return _prefill_classic(
         params["blocks"], params["emb"], params["pos"], params["head"],
-        heads, eps, prompt, t_max, windows)
+        heads, eps, prompt, t_max, windows, cd)
 
 
 @functools.lru_cache(maxsize=64)
@@ -389,9 +456,13 @@ def _decode_fn(cfg, temperature, top_k, top_p, eos_id):
     return jax.jit(run)
 
 
-def _extract_any(net, b, t0, n_new):
+def _extract_any(net, b, t0, n_new, dtype=None):
     """Shared front half of generate/generate_beam: pull params + build
-    the hashable static config."""
+    the hashable static config. ``dtype``: serving precision — matmul
+    params/activations/caches in that dtype, norm+softmax cores in f32;
+    None decodes in full f32 from the (always-f32) master params, which
+    is also the default for nets TRAINED with compute_dtype= mixed
+    precision (serving precision is an independent knob)."""
     is_llama = any(isinstance(getattr(lyr, "inner", lyr), LlamaBlock)
                    for lyr in net.layers)
     if is_llama:
@@ -402,7 +473,7 @@ def _extract_any(net, b, t0, n_new):
         params = {"emb": emb, "norm": normg, "head": head,
                   "blocks": blocks}
         cfg = ("llama", b, t0, int(n_new), t_max, len(blocks), windows,
-               fam)
+               fam, None if dtype is None else jnp.dtype(dtype).name)
     else:
         emb, pos, blocks, head, heads, eps, windows = _extract(net)
         t_max = pos.shape[1]
@@ -413,12 +484,12 @@ def _extract_any(net, b, t0, n_new):
         fam = (heads, float(eps))
         params = {"emb": emb, "pos": pos, "head": head, "blocks": blocks}
         cfg = ("classic", b, t0, int(n_new), t_max, len(blocks), windows,
-               fam)
-    return cfg, params
+               fam, None if dtype is None else jnp.dtype(dtype).name)
+    return cfg, _cast_params(params, _cfg_dtype(cfg))
 
 
 def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
-             top_k=None, top_p=None, eos_id=None):
+             top_k=None, top_p=None, eos_id=None, dtype=None):
     """Decode ``n_new`` tokens after ``prompt_ids`` [B, T0] (int ids).
 
     Supports both causal-LM families: build_tiny_lm nets (learned
@@ -439,16 +510,26 @@ def generate(net, prompt_ids, n_new, temperature=0.0, rng=None,
     row repeats it (the standard early-stop protocol under static
     shapes).
 
+    ``dtype``: serving precision (e.g. ``jnp.bfloat16``) — matmul
+    weights, activations, and the KV caches run/live in that dtype
+    (bf16 halves cache + weight HBM and feeds the MXU its native input
+    type) while norms, softmax, and sampling stay f32; logits drift
+    ~1e-2 relative vs the f32 decode, so greedy argmax can differ on
+    near-ties. Default ``None`` decodes in full f32 from the master
+    params — including for nets TRAINED with ``compute_dtype=`` mixed
+    precision (training compute dtype and serving dtype are independent
+    knobs; the masters are always f32).
+
     The compiled program is CACHED per (net architecture, shapes,
-    sampling config): repeated calls pay one dispatch, not a recompile;
-    parameter values are call-time arguments, so generating from a net
-    that trained further reuses the same program.
+    sampling config, serving dtype): repeated calls pay one dispatch, not
+    a recompile; parameter values are call-time arguments, so generating
+    from a net that trained further reuses the same program.
     """
     prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
     b, t0 = prompt_ids.shape
     if temperature and rng is None:
         raise ValueError("sampling (temperature > 0) needs rng=PRNGKey")
-    cfg, params = _extract_any(net, b, t0, n_new)
+    cfg, params = _extract_any(net, b, t0, n_new, dtype)
     fn = _decode_fn(cfg, float(temperature),
                     None if top_k is None else int(top_k),
                     None if top_p is None else float(top_p),
@@ -521,7 +602,8 @@ def _beam_fn(cfg, w, eos_id):
     return jax.jit(run)
 
 
-def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
+def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None,
+                  dtype=None):
     """Fixed-length beam-search decode: returns int32 [B, T0 + n_new] —
     for each prompt row, the continuation with the highest total
     log-probability among ``beam_width`` beams.
@@ -538,6 +620,9 @@ def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
     freezes (later steps admit only an eos continuation at log-prob 0)
     and its tail fills with eos; unfinished beams keep competing. Without
     it, sequences are scored at the full fixed length.
+
+    ``dtype``: serving precision, exactly as in generate() (bf16 is
+    especially effective here — the cache is tiled W-fold).
     """
     prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
     b, t0 = prompt_ids.shape
@@ -551,7 +636,7 @@ def generate_beam(net, prompt_ids, n_new, beam_width=4, eos_id=None):
     if n_vocab is not None and w > n_vocab:
         raise ValueError("beam_width %d exceeds the vocab size %d"
                          % (w, n_vocab))
-    cfg, params = _extract_any(net, b, t0, n_new)
+    cfg, params = _extract_any(net, b, t0, n_new, dtype)
     fn = _beam_fn(cfg, w, None if eos_id is None else int(eos_id))
     toks = fn(params, prompt_ids)
     return jnp.concatenate([prompt_ids, toks], axis=1)

@@ -40,6 +40,20 @@ def _init_scope(seed):
             else contextlib.nullcontext())
 
 
+def _norm_f32(t):
+    """Norm cores run in f32 (the mixed-precision policy): upcast a
+    sub-32-bit input before the fused norm primitive — otherwise the
+    mean/variance reductions of a bf16 residual stream would run at bf16
+    resolution. f32/f64 inputs pass through untouched; the astype_ VJP
+    returns the cotangent in the stream's dtype."""
+    import jax.numpy as jnp
+
+    d = t.dtype
+    if jnp.issubdtype(d, jnp.inexact) and jnp.finfo(d).bits < 32:
+        return ops.astype_(t, np.float32)
+    return t
+
+
 def _to_dtype(t, dtype):
     """Tape-tracked cast, a no-op when the dtype already matches.
 
@@ -129,8 +143,12 @@ class Dense(Layer):
         cd = self.compute_dtype
         if cd is None:
             return inputs @ self.params["w"] + self.params["b"]
-        return (_to_dtype(inputs, cd) @ _to_dtype(self.params["w"], cd)
-                + _to_dtype(self.params["b"], cd))
+        # bf16 operands feed the MXU natively; the matmul ACCUMULATES in
+        # f32 (kernels.matmul invariant), and the result rounds ONCE at
+        # the layer boundary so the downstream activation flows in cd
+        return _to_dtype(
+            _to_dtype(inputs, cd) @ _to_dtype(self.params["w"], cd)
+            + _to_dtype(self.params["b"], cd), cd)
 
     def init_params(self, input_shape):
         """Shape-only initialization (no compute) so jitted paths can
@@ -175,7 +193,7 @@ class LayerNorm(Layer):
     def forward(self, inputs):
         if not self._is_init:
             self._init_parameters(inputs.shape[-1])
-        return ops.layer_norm_(inputs, self.params["gamma"],
+        return ops.layer_norm_(_norm_f32(inputs), self.params["gamma"],
                                self.params["beta"], eps=self.eps)
 
     def init_params(self, input_shape):
@@ -217,7 +235,8 @@ class RMSNorm(Layer):
     def forward(self, inputs):
         if not self._is_init:
             self._init_parameters(inputs.shape[-1])
-        return ops.rms_norm_(inputs, self.params["g"], eps=self.eps)
+        return ops.rms_norm_(_norm_f32(inputs), self.params["g"],
+                             eps=self.eps)
 
     def init_params(self, input_shape):
         if not self._is_init:
@@ -433,14 +452,16 @@ class TransformerBlock(Layer):
                 attn = ops.dropout_(attn, self.attn_dropout, keys[0])
             ctx_h = attn @ v
         ctx = cast(ctx_h.transpose((0, 2, 1, 3)).reshape((b, t, d)))
-        attn_out = ctx @ cast(p["wo"])
+        # every matmul accumulates f32 (kernels.matmul invariant); cast()
+        # rounds the result once so the residual stream stays in cd
+        attn_out = cast(ctx @ cast(p["wo"]))
         if drop and self.dropout > 0.0:
             attn_out = ops.dropout_(attn_out, self.dropout, keys[1])
         x = inputs + attn_out
 
         yn = cast(ops.layer_norm_(up(x), p["g2"], p["be2"], eps=self.eps))
-        y = (ops.gelu_(yn @ cast(p["w1"]) + cast(p["b1"]))
-             @ cast(p["w2"]) + cast(p["b2"]))
+        y = cast(ops.gelu_(yn @ cast(p["w1"]) + cast(p["b1"]))
+                 @ cast(p["w2"]) + cast(p["b2"]))
         if drop and self.dropout > 0.0:
             y = ops.dropout_(y, self.dropout, keys[2])
         return x + y
@@ -583,14 +604,16 @@ class LlamaBlock(Layer):
                 attn = ops.dropout_(attn, self.attn_dropout, keys[0])
             ctx_h = attn @ v
         ctx = cast(ctx_h.transpose((0, 2, 1, 3)).reshape((b, t, d)))
-        attn_out = ctx @ cast(p["wo"])
+        # matmuls accumulate f32 (kernels.matmul invariant); cast() rounds
+        # the result once so the residual stream stays in cd
+        attn_out = cast(ctx @ cast(p["wo"]))
         if drop and self.dropout > 0.0:
             attn_out = ops.dropout_(attn_out, self.dropout, keys[1])
         x = inputs + attn_out
 
         yn = cast(ops.rms_norm_(up(x), p["g2"], eps=self.eps))
-        y = (ops.silu_(yn @ cast(p["w1"])) * (yn @ cast(p["w3"]))) \
-            @ cast(p["w2"])
+        y = cast((ops.silu_(yn @ cast(p["w1"])) * (yn @ cast(p["w3"])))
+                 @ cast(p["w2"]))
         if drop and self.dropout > 0.0:
             y = ops.dropout_(y, self.dropout, keys[2])
         return x + y
@@ -1195,14 +1218,15 @@ class Conv2D(Layer):
 
         if self.impl == "xla":
             out = ops.conv2d_(x, wk, self.stride, (pad_h, pad_w))
-            return out + bk.reshape((1, 1, 1, c_out))
+            # conv accumulates f32; round once at the layer boundary
+            return _to_dtype(out + bk.reshape((1, 1, 1, c_out)), cd)
 
         if pad_h != (0, 0) or pad_w != (0, 0):
             x = ops.pad(x, [(0, 0), pad_h, pad_w, (0, 0)])
         patches = _window_patches(x, n, oh, ow, kh, kw, sh, sw)
         cols_mat = patches.reshape((n * oh * ow, kh * kw * c_in))
         w_mat = wk.reshape((kh * kw * c_in, c_out))
-        out = cols_mat @ w_mat + bk
+        out = _to_dtype(cols_mat @ w_mat + bk, cd)
         return out.reshape((n, oh, ow, c_out))
 
 
